@@ -1,0 +1,81 @@
+"""Headline benchmark: ResNet-50 + ASPP (DeepLabV3-style), 512x512,
+training-step throughput in images/sec/chip (BASELINE.json config #2).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the reference TF-on-TPU estimate below.
+The reference publishes no numbers (BASELINE.md); TF_BASELINE_IMG_PER_SEC is
+a provisional estimate for Keras/TF2 ResNet-50+ASPP @512^2 bf16 on one
+TPU v5e chip, to be replaced by a measured number when one is available.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TF_BASELINE_IMG_PER_SEC = 100.0  # provisional TF2/Keras estimate, v5e chip
+
+
+def main():
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.core.model import SegManaged
+    from iseg_tpu.core.optimizer import get_optimizer
+    from iseg_tpu.core.train import create_train_state, make_train_step
+    from iseg_tpu.nn.heads import ASPP
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        batch, hw, steps, warmup = 16, 512, 20, 5
+        dtype = jnp.bfloat16
+    else:  # CPU smoke configuration
+        batch, hw, steps, warmup = 2, 128, 3, 1
+        dtype = jnp.float32
+
+    model = SegManaged(
+        num_class=21,
+        backbone=get_backbone("resnet50", output_stride=16, dtype=dtype),
+        head=ASPP(filters=256, dtype=dtype),
+    )
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, hw, hw, 3), dtype))
+    tx, _ = get_optimizer(
+        variables["params"], "sgd", learning_rate=0.01, train_steps=1000
+    )
+    state = create_train_state(model, rng, (batch, hw, hw, 3), tx, input_dtype=dtype)
+    step_fn = make_train_step(model.build_loss_fn())
+
+    x = np.random.RandomState(0).rand(batch, hw, hw, 3).astype(np.float32)
+    y = np.random.RandomState(1).randint(0, 21, (batch, hw, hw)).astype(np.int32)
+    data = {"image": jnp.asarray(x, dtype), "label": jnp.asarray(y)}
+
+    for _ in range(warmup):
+        state, parts = step_fn(state, data, rng)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, parts = step_fn(state, data, rng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    img_per_sec_per_chip = batch * steps / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "resnet50_aspp_512_train_throughput",
+                "value": round(img_per_sec_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec_per_chip / TF_BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

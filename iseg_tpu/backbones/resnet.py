@@ -1,0 +1,205 @@
+"""Modern ResNet family (9/10/18/50/52/101/103/152).
+
+Parity with the reference's ``backbones/resnet_common.py`` (``ResNet`` :187,
+``get_resnet`` :490, stack styles ``Stack`` :25 / slim ``Stack2`` :94,
+7x7->3x3 deep-stem replacement :245, atrous conversion :561-588, multi-grid
+:591-598) + ``resnet_blocks.py`` / ``resnet_blocks_small.py``.
+
+TPU-first: dilation is a construction-time parameter derived from
+``output_stride`` (the reference mutates built models post-hoc); multi-grid
+multiplies the last stage's per-block dilations exactly like
+``apply_multi_grid`` (:591-598).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from iseg_tpu.backbones.registry import register_backbone
+from iseg_tpu.nn.conv import ConvNormAct
+
+_BN_EPS = 1.001e-5
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dilation: int = 1
+    norm: str = "sync_batch_norm"
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        h = ConvNormAct(
+            filters=self.filters, kernel_size=3, strides=self.stride,
+            dilation=self.dilation, norm=self.norm, act="relu",
+            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="conv1",
+        )(x, train=train)
+        h = ConvNormAct(
+            filters=self.filters, kernel_size=3, dilation=self.dilation,
+            norm=self.norm, act=None, bn_epsilon=_BN_EPS,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
+        )(h, train=train)
+        if self.stride != 1 or shortcut.shape[-1] != self.filters:
+            shortcut = ConvNormAct(
+                filters=self.filters, kernel_size=1, strides=self.stride,
+                norm=self.norm, act=None, bn_epsilon=_BN_EPS,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="shortcut",
+            )(shortcut, train=train)
+        return nn.relu(h + shortcut)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) bottleneck. Stride on the 3x3 (the "modern" /
+    v1.5 placement the reference uses)."""
+
+    filters: int
+    stride: int = 1
+    dilation: int = 1
+    norm: str = "sync_batch_norm"
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        out_ch = self.filters * 4
+        h = ConvNormAct(
+            filters=self.filters, kernel_size=1, norm=self.norm, act="relu",
+            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="conv1",
+        )(x, train=train)
+        h = ConvNormAct(
+            filters=self.filters, kernel_size=3, strides=self.stride,
+            dilation=self.dilation, norm=self.norm, act="relu",
+            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="conv2",
+        )(h, train=train)
+        h = ConvNormAct(
+            filters=out_ch, kernel_size=1, norm=self.norm, act=None,
+            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="conv3",
+        )(h, train=train)
+        if self.stride != 1 or shortcut.shape[-1] != out_ch:
+            shortcut = ConvNormAct(
+                filters=out_ch, kernel_size=1, strides=self.stride,
+                norm=self.norm, act=None, bn_epsilon=_BN_EPS,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="shortcut",
+            )(shortcut, train=train)
+        return nn.relu(h + shortcut)
+
+
+class ResNet(nn.Module):
+    """Input-size-free ResNet returning endpoints at os 2/4/8/16/32(or
+    dilated) (reference ``resnet_common.py:187``)."""
+
+    depths: Sequence[int] = (3, 4, 6, 3)
+    use_bottleneck: bool = True
+    output_stride: int = 32
+    multi_grid: Optional[Sequence[int]] = None  # e.g. (1, 2, 4)
+    deep_stem: bool = False  # 7x7 -> 3x 3x3 (reference :245)
+    stem_filters: int = 64
+    return_endpoints: bool = True
+    norm: str = "sync_batch_norm"
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        endpoints = []
+        common = dict(norm=self.norm, dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # stem (os 2)
+        if self.deep_stem:
+            x = ConvNormAct(filters=self.stem_filters // 2, kernel_size=3, strides=2,
+                            bn_epsilon=_BN_EPS, name="stem0", **common)(x, train=train)
+            x = ConvNormAct(filters=self.stem_filters // 2, kernel_size=3,
+                            bn_epsilon=_BN_EPS, name="stem1", **common)(x, train=train)
+            x = ConvNormAct(filters=self.stem_filters, kernel_size=3,
+                            bn_epsilon=_BN_EPS, name="stem2", **common)(x, train=train)
+        else:
+            x = ConvNormAct(filters=self.stem_filters, kernel_size=7, strides=2,
+                            bn_epsilon=_BN_EPS, name="stem", **common)(x, train=train)
+        endpoints.append(x)
+
+        # max-pool to os 4
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        block_cls = BottleneckBlock if self.use_bottleneck else BasicBlock
+        current_stride = 4
+        dilation = 1
+        stage_filters = (64, 128, 256, 512)
+
+        for stage_idx, (depth, filters) in enumerate(zip(self.depths, stage_filters)):
+            stage_stride = 1 if stage_idx == 0 else 2
+            if stage_idx > 0:
+                # endpoint taps stay fixed whether or not the stage is
+                # dilated, matching the reference's rewrite semantics
+                endpoints.append(x)
+                if current_stride >= self.output_stride:
+                    dilation *= stage_stride  # atrous rewrite (:561-588)
+                    stage_stride = 1
+                else:
+                    current_stride *= 2
+
+            is_last = stage_idx == len(self.depths) - 1
+            grid = (
+                list(self.multi_grid)
+                if (is_last and self.multi_grid and dilation > 1)
+                else [1] * depth
+            )
+            for block_idx in range(depth):
+                rate = dilation * grid[block_idx % len(grid)]
+                x = block_cls(
+                    filters=filters,
+                    stride=stage_stride if block_idx == 0 else 1,
+                    dilation=rate,
+                    name=f"stage{stage_idx}_block{block_idx}",
+                    **common,
+                )(x, train=train)
+
+        endpoints.append(x)
+        if self.return_endpoints:
+            return endpoints
+        return x
+
+
+_CONFIGS = {
+    # name: (depths, bottleneck, deep_stem)
+    "resnet9": ((1, 1, 1, 1), False, False),
+    "resnet10": ((1, 1, 1, 1), False, True),
+    "resnet18": ((2, 2, 2, 2), False, False),
+    "resnet50": ((3, 4, 6, 3), True, False),
+    "resnet52": ((3, 4, 6, 3), True, True),
+    "resnet101": ((3, 4, 23, 3), True, False),
+    "resnet103": ((3, 4, 23, 3), True, True),
+    "resnet152": ((3, 8, 36, 3), True, False),
+}
+
+
+def _make_ctor(name, depths, bottleneck, deep_stem):
+    def ctor(output_stride=32, return_endpoints=True, multi_grid=None, **kwargs):
+        if multi_grid is None and output_stride in (8, 16):
+            multi_grid = (1, 2, 4)  # DeepLab default when dilated
+        return ResNet(
+            depths=depths,
+            use_bottleneck=bottleneck,
+            deep_stem=deep_stem,
+            output_stride=output_stride,
+            multi_grid=multi_grid,
+            return_endpoints=return_endpoints,
+            **kwargs,
+        )
+
+    ctor.__name__ = name
+    return ctor
+
+
+for _name, (_depths, _bneck, _stem) in _CONFIGS.items():
+    register_backbone(_name, _make_ctor(_name, _depths, _bneck, _stem))

@@ -1,0 +1,54 @@
+"""Checkpoint management (orbax) + pretrained-weight ingest.
+
+Parity with the reference's ``modelhelper.py:59`` ``ModelHelper`` (save /
+restore with ``max_to_keep`` GC :136-151,181-225) and the name-based H5
+backbone-weight loader (``saver/h5_saver.py:38``) — the H5 ingest lives in
+``iseg_tpu.core.h5_ingest``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class ModelHelper:
+    """Thin orbax CheckpointManager wrapper with the reference's knob
+    surface (``modelhelper.py:22-56`` ``model_common_setup``)."""
+
+    def __init__(self, checkpoint_dir: str, max_to_keep: int = 3):
+        self.checkpoint_dir = os.path.abspath(checkpoint_dir)
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+        self._manager = ocp.CheckpointManager(self.checkpoint_dir, options=options)
+
+    def save(self, step: int, state: Any) -> None:
+        """Save train state (params/batch_stats/opt_state/step)."""
+        self._manager.save(step, args=ocp.args.StandardSave(_arrays_only(state)))
+        self._manager.wait_until_finished()
+
+    def restore_latest(self, template_state: Any) -> Optional[Any]:
+        """Restore the newest checkpoint into the template's structure,
+        or None when no checkpoint exists (reference ``modelhelper.py:125``)."""
+        step = self._manager.latest_step()
+        if step is None:
+            return None
+        restored = self._manager.restore(
+            step, args=ocp.args.StandardRestore(_arrays_only(template_state))
+        )
+        return template_state.replace(**restored)
+
+    def all_steps(self):
+        return self._manager.all_steps()
+
+
+def _arrays_only(state) -> dict:
+    """Strip non-pytree fields (apply_fn/tx) for serialization."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }

@@ -1,0 +1,90 @@
+"""Evaluation driver: custom eval loop with streaming mIoU.
+
+Parity with the reference's ``evaluations/evaluation.py:19`` ``evaluate``
+(custom loop; multi-scale + flip + sliding-window inference, per-class IoU
+report at the end) and ``evaluations/core_eval.py:22`` (single-scale
+fast path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from iseg_tpu.core.inference import inference_with_multi_scales
+from iseg_tpu.core.model import SegModelInferenceConfig
+from iseg_tpu.metrics.mean_iou import MeanIoU
+from iseg_tpu.parallel.mesh import MeshEnv, shard_batch
+
+
+def make_eval_step(
+    apply_fn: Callable,
+    variables,
+    inference_config: Optional[SegModelInferenceConfig] = None,
+) -> Callable:
+    """One jitted eval step: images -> averaged logits.
+
+    The full multi-scale/flip/sliding-window sweep compiles into a single
+    XLA program per input shape (the reference re-enters ``strategy.run``
+    per scale, ``evaluations/evaluation.py:99-124``).
+    """
+    cfg = inference_config or SegModelInferenceConfig()
+
+    def single(x):
+        out = apply_fn(variables, x, train=False)
+        if isinstance(out, dict):
+            out = out["output_0"]
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        return out
+
+    @jax.jit
+    def eval_step(images):
+        return inference_with_multi_scales(
+            single,
+            images,
+            scale_rates=tuple(cfg.scale_rates),
+            flip=cfg.flip,
+            sliding_window_crop_size=cfg.sliding_window_crop_size,
+            sliding_window_stride_rate=cfg.sliding_window_stride_rate,
+        )
+
+    return eval_step
+
+
+def evaluate(
+    env: MeshEnv,
+    model,
+    variables,
+    dataset: Iterable[dict],
+    num_class: Optional[int] = None,
+    ignore_label: Optional[int] = None,
+    inference_config: Optional[SegModelInferenceConfig] = None,
+    verbose: bool = True,
+):
+    """Run eval over ``dataset`` yielding {"image", "label"} host batches;
+    returns (mean_iou, per_class_iou) (reference ``evaluation.py:19-90``)."""
+    num_class = num_class if num_class is not None else model.num_class
+    ignore_label = ignore_label if ignore_label is not None else model.ignore_label
+
+    eval_step = make_eval_step(model.apply, variables, inference_config)
+    miou = MeanIoU(num_class, ignore_label)
+
+    n_batches = 0
+    for batch in dataset:
+        batch = shard_batch(env.mesh, batch)
+        logits = eval_step(batch["image"])
+        miou.update_state(batch["label"], logits)
+        n_batches += 1
+        if verbose and n_batches % 50 == 0:
+            print(f"eval batch {n_batches}: running mIoU={miou.result():.4f}", flush=True)
+
+    per_class = miou.per_class_iou()
+    if verbose:
+        print(f"eval done ({n_batches} batches): mIoU={miou.result():.4f}")
+        for i, v in enumerate(per_class):
+            print(f"  class {i}: IoU={v:.4f}")
+    return miou.result(), per_class

@@ -1,0 +1,149 @@
+"""Inference engine: single-scale, multi-scale + flip, sliding-window.
+
+Parity with the reference's ``core_inference.py`` (dispatch ``inference_fn``
+:46, sliding window :230 with start-index grid + overlap count map
+:143-207) and ``core_model.py:232`` (multi-scale + flip logit averaging).
+
+TPU-first design:
+* the window-start grid and the overlap count map are **host-precomputed
+  numpy constants** (they depend only on static shapes) — the reference
+  rebuilds them per call in a ``tf.while_loop`` (:143-207);
+* all windows share one shape, so the whole sweep is a single
+  ``lax.scan`` over start indices with ``dynamic_slice`` /
+  ``dynamic_update_slice`` accumulation — one trace, no retraces, no
+  host round-trips (the reference's ``use_cpu_cache`` identity hops
+  :282-297 exist only to dodge TF memory limits);
+* multi-scale builds one fused XLA program (python loop over static
+  scales inside jit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iseg_tpu.ops.resize import resize_image, scaled_size
+
+
+def sliding_start_indices(length: int, window: int, stride: int) -> list[int]:
+    """Window start offsets covering [0, length) with a final snapped-to-end
+    window (reference ``utils/sliding_window_inference_utils.py:5-64``)."""
+    if window >= length:
+        return [0]
+    stride = max(1, stride)
+    starts = list(range(0, length - window + 1, stride))
+    if starts[-1] != length - window:
+        starts.append(length - window)
+    return starts
+
+
+def sliding_window_plan(
+    image_hw: tuple[int, int],
+    crop_size: tuple[int, int],
+    stride_rate: float = 2.0 / 3.0,
+) -> tuple[np.ndarray, np.ndarray, tuple[int, int]]:
+    """(starts [K,2], count_map [H,W,1], window_hw) — all static."""
+    h, w = image_hw
+    wh, ww = min(crop_size[0], h), min(crop_size[1], w)
+    hs = sliding_start_indices(h, wh, int(wh * stride_rate))
+    ws = sliding_start_indices(w, ww, int(ww * stride_rate))
+    starts = np.array([(i, j) for i in hs for j in ws], np.int32)
+    counts = np.zeros((h, w, 1), np.float32)
+    for i, j in starts:
+        counts[i : i + wh, j : j + ww] += 1.0
+    return starts, counts, (wh, ww)
+
+
+def inference_with_sliding_window(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    images: jax.Array,
+    crop_size: tuple[int, int],
+    stride_rate: float = 2.0 / 3.0,
+) -> jax.Array:
+    """Sliding-window logits (reference ``core_inference.py:230``).
+
+    ``apply_fn(window) -> logits`` must return logits at window resolution.
+    """
+    n, h, w, c = images.shape
+    starts, counts, (wh, ww) = sliding_window_plan((h, w), crop_size, stride_rate)
+
+    if len(starts) == 1 and (wh, ww) == (h, w):
+        return apply_fn(images)
+
+    out_shape = jax.eval_shape(apply_fn, jax.ShapeDtypeStruct((n, wh, ww, c), images.dtype))
+    k = out_shape.shape[-1]
+    canvas = jnp.zeros((n, h, w, k), jnp.float32)
+
+    def body(canvas, start):
+        sh, sw = start[0], start[1]
+        win = jax.lax.dynamic_slice(images, (0, sh, sw, 0), (n, wh, ww, c))
+        logits = apply_fn(win).astype(jnp.float32)
+        cur = jax.lax.dynamic_slice(canvas, (0, sh, sw, 0), (n, wh, ww, k))
+        canvas = jax.lax.dynamic_update_slice(canvas, cur + logits, (0, sh, sw, 0))
+        return canvas, None
+
+    canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(starts))
+    return canvas / jnp.asarray(counts)[None]
+
+
+def inference_fn(
+    apply_fn: Callable,
+    images: jax.Array,
+    sliding_window_crop_size: Optional[tuple[int, int]] = None,
+    sliding_window_stride_rate: float = 2.0 / 3.0,
+) -> jax.Array:
+    """Dispatch direct vs sliding-window (reference ``core_inference.py:46``)."""
+    if sliding_window_crop_size is not None:
+        return inference_with_sliding_window(
+            apply_fn, images, sliding_window_crop_size, sliding_window_stride_rate
+        )
+    return apply_fn(images)
+
+
+def inference_with_scale(
+    apply_fn: Callable,
+    images: jax.Array,
+    scale_rate: float,
+    flipped: bool = False,
+    **sliding_kwargs,
+) -> jax.Array:
+    """Resize -> (flip) -> infer -> unflip -> resize logits back
+    (reference ``core_model.py:132-225`` ``inference_with_scale``)."""
+    h, w = images.shape[1], images.shape[2]
+    if scale_rate != 1.0:
+        sh, sw = scaled_size(h, w, scale_rate)
+        x = resize_image(images, (sh, sw), "bilinear")
+    else:
+        x = images
+    if flipped:
+        x = x[:, :, ::-1, :]
+    logits = inference_fn(apply_fn, x, **sliding_kwargs)
+    if flipped:
+        logits = logits[:, :, ::-1, :]
+    if logits.shape[1:3] != (h, w):
+        logits = resize_image(logits.astype(jnp.float32), (h, w), "bilinear")
+    return logits.astype(jnp.float32)
+
+
+def inference_with_multi_scales(
+    apply_fn: Callable,
+    images: jax.Array,
+    scale_rates: Sequence[float] = (1.0,),
+    flip: bool = False,
+    **sliding_kwargs,
+) -> jax.Array:
+    """Average logits over scales x flips
+    (reference ``core_model.py:232-326``)."""
+    acc = None
+    count = 0
+    for scale in scale_rates:
+        for flipped in ((False, True) if flip else (False,)):
+            logits = inference_with_scale(
+                apply_fn, images, scale, flipped=flipped, **sliding_kwargs
+            )
+            acc = logits if acc is None else acc + logits
+            count += 1
+    return acc / count

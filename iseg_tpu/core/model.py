@@ -1,0 +1,170 @@
+"""Abstract model tier: SegBase / SegFoundation / SegManaged.
+
+Parity with the reference's ``core_model.py`` (``SegBase`` :51,
+``SegFoundation`` :329, ``SegModelInferenceConfig`` :24) and
+``layers/core_model_ext.py:24`` (``SegManaged`` — the assembled
+backbone + head + logits-conv model).
+
+TPU-first: models are pure flax modules; the "predict_step/test_step"
+overrides of the Keras design become free inference-engine functions in
+``iseg_tpu.core.inference`` that close over ``model.apply``. Loss/metric
+assembly (``custom_losses`` ``core_model.py:471-529``) is a pure function of
+the model's config, producing one jit-able loss callable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from iseg_tpu.losses.cross_entropy import cross_entropy_ignore_label
+from iseg_tpu.losses.ohem import get_ohem_fn
+from iseg_tpu.ops.resize import resize_image
+
+
+@dataclasses.dataclass
+class SegModelInferenceConfig:
+    """Inference knobs (reference ``core_model.py:24``)."""
+
+    scale_rates: Sequence[float] = (1.0,)
+    flip: bool = False
+    sliding_window_crop_size: Optional[tuple[int, int]] = None
+    sliding_window_stride_rate: float = 2.0 / 3.0
+    use_cpu_cache: bool = False  # host-offload of the logit accumulator
+
+
+class SegBase(nn.Module):
+    """Marker base for segmentation models (reference ``core_model.py:51``).
+
+    Subclasses implement ``__call__(x, train=False)`` returning logits
+    [N, H, W, num_class] or a list of them (main output first)."""
+
+    def inference(self, variables, x, **kwargs):
+        """Single-scale inference (reference ``core_model.py:118``)."""
+        out = self.apply(variables, x, train=False, **kwargs)
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        if isinstance(out, dict):
+            out = out["output_0"]
+        return out
+
+
+class SegFoundation(SegBase):
+    """Adds aux-loss/metric plumbing (reference ``core_model.py:329``):
+    aux outputs, loss rates, OHEM/focal switches, class weights."""
+
+    num_class: int = 21
+    num_aux_loss: int = 0
+    aux_loss_rate: float = 0.4
+    use_ohem: bool = False
+    ohem_thresh: float = 0.7
+    ohem_min_kept: int = 100000
+    use_focal_loss: bool = False
+    focal_loss_gamma: float = 2.0
+    focal_loss_alpha: Optional[float] = 0.25
+    class_weights: Optional[Sequence[float]] = None
+    ignore_label: int = 255
+
+    def custom_losses_weights(self) -> list[float]:
+        """Main + aux loss weights (reference ``core_model.py:531``)."""
+        return [1.0] + [self.aux_loss_rate] * self.num_aux_loss
+
+    def build_loss_fn(self) -> Callable:
+        """One jit-able callable ``loss_fn(outputs, labels) -> (total, dict)``
+        (reference ``custom_losses`` ``core_model.py:471-529``: dict keyed
+        ``output_N``, OHEM applied to the main output only)."""
+        weights = self.custom_losses_weights()
+        ohem_fn = (
+            get_ohem_fn(self.ohem_thresh, self.ohem_min_kept) if self.use_ohem else None
+        )
+
+        def loss_fn(outputs, labels):
+            outs = normalize_outputs(outputs)
+            total = 0.0
+            parts = {}
+            for i, (key, logits) in enumerate(outs.items()):
+                loss = cross_entropy_ignore_label(
+                    logits,
+                    labels,
+                    num_classes=self.num_class,
+                    ignore_label=self.ignore_label,
+                    class_weights=self.class_weights,
+                    use_focal=self.use_focal_loss,
+                    focal_gamma=self.focal_loss_gamma,
+                    focal_alpha=self.focal_loss_alpha,
+                    ohem_fn=ohem_fn if i == 0 else None,
+                )
+                parts[f"{key}_loss"] = loss
+                total = total + weights[i] * loss if i < len(weights) else total + loss
+            parts["loss"] = total
+            return total, parts
+
+        return loss_fn
+
+
+def normalize_outputs(outputs) -> dict[str, jax.Array]:
+    """list/tuple/dict/array -> {"output_0": ..., "output_1": ...}
+    (reference ``core_inference.py:60-133`` multi-output normalization)."""
+    if isinstance(outputs, dict):
+        return outputs
+    if isinstance(outputs, (list, tuple)):
+        return {f"output_{i}": o for i, o in enumerate(outputs)}
+    return {"output_0": outputs}
+
+
+class SegManaged(SegFoundation):
+    """The assembled model (reference ``layers/core_model_ext.py:24``):
+    backbone -> head -> per-output 1x1 logits conv -> bilinear upsample to
+    input size -> fp32 cast. Aux outputs get their own logits convs
+    (``core_model_ext.py:142``).
+    """
+
+    backbone: Optional[nn.Module] = None
+    head: Optional[nn.Module] = None
+    use_aux_head_endpoints: bool = False  # feed backbone endpoints to aux convs
+    upsample_logits: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inputs_hw = (x.shape[1], x.shape[2])
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        feats = self.backbone(x, train=train) if self.backbone is not None else x
+        endpoints = feats if isinstance(feats, (list, tuple)) else [feats]
+
+        if self.head is not None:
+            head_out = self.head(endpoints, train=train)
+        else:
+            head_out = endpoints[-1]
+        head_outs = list(head_out) if isinstance(head_out, (list, tuple)) else [head_out]
+
+        # aux branches beyond what the head returned come from backbone
+        # endpoints (reference core_model_ext.py:304-318)
+        while self.use_aux_head_endpoints and len(head_outs) < 1 + self.num_aux_loss:
+            idx = -(len(head_outs) + 1)
+            head_outs.append(endpoints[idx])
+
+        logits_list = []
+        for i, h in enumerate(head_outs[: 1 + self.num_aux_loss]):
+            logits = nn.Conv(
+                self.num_class,
+                (1, 1),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"logits_conv_{i}" if i else "logits_conv",
+            )(h)
+            if self.upsample_logits and logits.shape[1:3] != inputs_hw:
+                logits = resize_image(logits, inputs_hw, "bilinear")
+            # fp32 output cast (reference core_model_ext.py:229-256)
+            logits_list.append(logits.astype(jnp.float32))
+
+        if len(logits_list) == 1:
+            return logits_list[0]
+        return {f"output_{i}": l for i, l in enumerate(logits_list)}

@@ -1,0 +1,292 @@
+"""Optimizer factory on optax.
+
+Parity with the reference's ``core_optimizer.py:18`` ``get_optimizer``
+(poly/cosine LR schedules with warmup :132-160; SGD/Adam/AMSGrad/AdamW
+:163-188; list-valued kwargs -> multiple optimizers :55-106), the
+``lr_multiplier`` mechanism of ``optimizers/modern/adamw.py:17-19`` /
+``utils/layerwise_decay.py:12``, the weight-decay exclusion lists of
+``utils/train_utils.py:8-37``, the NaN-replacing gradient clip of
+``optimizers/modern/adamw.py:63-73``, and ``optimizers/multi_optimizer.py:10``.
+
+TPU-first: one optax ``GradientTransformation`` per model — per-variable lr
+multipliers, no-decay masks, and layer partitioning all become masked /
+labeled transforms, so the whole update stays a single fused XLA program.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# Name fragments excluded from weight decay, per the reference's no-decay
+# list (``utils/train_utils.py:8-37``): norm params, biases, positional
+# embeddings, class tokens, relative-position tables.
+NO_WEIGHT_DECAY_PATTERNS = (
+    "bias",
+    "scale",            # flax norm scale ("gamma")
+    "norm",
+    "bn",
+    "pos_embed",
+    "position_embedding",
+    "cls_token",
+    "class_token",
+    "relative_position",
+    "gamma",
+    "beta",
+    "logit_scale",
+)
+
+
+def warmup_poly_decay(
+    base_learning_rate: float,
+    decay_steps: int,
+    end_learning_rate: float = 0.0,
+    power: float = 0.9,
+    warmup_steps: int = 0,
+    warmup_learning_rate: float = 0.0,
+) -> optax.Schedule:
+    """Poly decay with linear warmup
+    (reference ``optimizers/polydecay.py:44-76`` ``WarmUpPolyDecay``)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_learning_rate + (base_learning_rate - warmup_learning_rate) * (
+            step / jnp.maximum(1.0, warmup_steps)
+        )
+        decay_total = jnp.maximum(1.0, decay_steps - warmup_steps)
+        p = jnp.clip((step - warmup_steps) / decay_total, 0.0, 1.0)
+        decayed = (base_learning_rate - end_learning_rate) * (1.0 - p) ** power
+        decayed = decayed + end_learning_rate
+        if warmup_steps <= 0:
+            return decayed
+        return jnp.where(step < warmup_steps, warm, decayed)
+
+    return schedule
+
+
+def warmup_cosine_decay(
+    base_learning_rate: float,
+    decay_steps: int,
+    alpha: float = 0.0,
+    warmup_steps: int = 0,
+) -> optax.Schedule:
+    """Cosine decay with linear warmup
+    (reference ``optimizers/cosinedecay.py:7``)."""
+    if warmup_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=base_learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=decay_steps,
+            end_value=alpha * base_learning_rate,
+        )
+    return optax.cosine_decay_schedule(base_learning_rate, decay_steps, alpha=alpha)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts).lower()
+
+
+def weight_decay_mask(
+    params,
+    extra_no_decay: Sequence[str] = (),
+) -> Any:
+    """Bool pytree: True where weight decay applies
+    (reference ``utils/train_utils.py:40-72``)."""
+    patterns = tuple(NO_WEIGHT_DECAY_PATTERNS) + tuple(extra_no_decay)
+
+    def decide(path, leaf):
+        s = _path_str(path)
+        return not any(p in s for p in patterns)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def lr_multiplier_tree(
+    params,
+    multipliers: Mapping[str, float],
+    default: float = 1.0,
+) -> Any:
+    """Per-leaf lr multipliers from {name-regex: multiplier}
+    (reference ``optimizers/modern/adamw.py:17-19``,
+    ``utils/train_utils.py:75-88``)."""
+    compiled = [(re.compile(k), v) for k, v in multipliers.items()]
+
+    def decide(path, leaf):
+        s = _path_str(path)
+        for rx, v in compiled:
+            if rx.search(s):
+                return v
+        return default
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def scale_by_lr_multipliers(multiplier_tree) -> optax.GradientTransformation:
+    """optax transform applying a static per-leaf multiplier to updates."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u * m, updates, multiplier_tree
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def layerwise_decay_multipliers(
+    params,
+    decay_rate: float,
+    layer_index_fn: Callable[[str], Optional[int]],
+    num_layers: int,
+) -> Any:
+    """Layerwise LR decay: multiplier = decay_rate ** (num_layers - i)
+    (reference ``backbones/utils/layerwise_decay.py:12`` ``decay_layers_lr``,
+    used by EVA/ConvNeXt ``backbones/eva/eva.py:254``)."""
+
+    def decide(path, leaf):
+        s = _path_str(path)
+        idx = layer_index_fn(s)
+        if idx is None:
+            return 1.0
+        return decay_rate ** max(0, num_layers - idx)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def scrub_nonfinite() -> optax.GradientTransformation:
+    """Replace NaN/Inf gradients with zero before the update
+    (reference ``optimizers/modern/adamw.py:63-73``)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def get_optimizer(
+    params,
+    name: str = "sgd",
+    learning_rate: float = 0.007,
+    end_learning_rate: float = 0.0,
+    train_steps: int = 30000,
+    warmup_steps: int = 0,
+    warmup_learning_rate: float = 0.0,
+    decay_strategy: Optional[str] = "poly",
+    poly_power: float = 0.9,
+    sgd_momentum: float = 0.9,
+    adam_beta1: float = 0.9,
+    adam_beta2: float = 0.999,
+    adam_epsilon: float = 1e-8,
+    weight_decay: float = 0.0,
+    clip_norm: Optional[float] = None,
+    lr_multipliers: Optional[Mapping[str, float]] = None,
+    extra_no_decay: Sequence[str] = (),
+    scrub_nan_grads: bool = True,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Build the optimizer + schedule (reference ``core_optimizer.py:18``).
+
+    Returns ``(tx, schedule)``; the schedule is also returned so drivers can
+    log the current LR (the reference reads it off the Keras optimizer).
+
+    Multi-optimizer training (list-valued kwargs in the reference,
+    ``core_optimizer.py:55-106``) is covered by :func:`get_multi_optimizer`.
+    """
+    if decay_strategy in ("poly", "polynomial"):
+        schedule = warmup_poly_decay(
+            learning_rate,
+            train_steps,
+            end_learning_rate=end_learning_rate,
+            power=poly_power,
+            warmup_steps=warmup_steps,
+            warmup_learning_rate=warmup_learning_rate,
+        )
+    elif decay_strategy == "cosine":
+        schedule = warmup_cosine_decay(
+            learning_rate, train_steps, warmup_steps=warmup_steps
+        )
+    elif decay_strategy in (None, "none", "constant"):
+        schedule = optax.constant_schedule(learning_rate)
+    else:
+        raise ValueError(f"unknown decay strategy: {decay_strategy!r}")
+
+    chain = []
+    if scrub_nan_grads:
+        chain.append(scrub_nonfinite())
+    if clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+
+    name = name.lower()
+    if name == "sgd":
+        chain.append(optax.trace(decay=sgd_momentum, nesterov=False))
+        if weight_decay:
+            chain.append(
+                optax.add_decayed_weights(
+                    weight_decay, mask=lambda p: weight_decay_mask(p, extra_no_decay)
+                )
+            )
+    elif name == "adam":
+        chain.append(
+            optax.scale_by_adam(b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon)
+        )
+    elif name == "amsgrad":
+        chain.append(
+            optax.scale_by_amsgrad(b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon)
+        )
+    elif name == "adamw":
+        chain.append(
+            optax.scale_by_adam(b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon)
+        )
+        if weight_decay:
+            chain.append(
+                optax.add_decayed_weights(
+                    weight_decay, mask=lambda p: weight_decay_mask(p, extra_no_decay)
+                )
+            )
+    else:
+        raise ValueError(f"unknown optimizer: {name!r}")
+
+    if lr_multipliers:
+        chain.append(scale_by_lr_multipliers(lr_multiplier_tree(params, lr_multipliers)))
+
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain), schedule
+
+
+def get_multi_optimizer(
+    params,
+    label_fn: Callable[[str], str],
+    optimizers: Mapping[str, optax.GradientTransformation],
+) -> optax.GradientTransformation:
+    """Layer-partitioned optimizer: route parameter groups to different
+    sub-optimizers by name (reference ``optimizers/multi_optimizer.py:38-61``).
+    """
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: label_fn(_path_str(path)), params
+    )
+    return optax.multi_transform(optimizers, labels)

@@ -1,0 +1,180 @@
+"""Training driver: TrainState + one jitted train step + host epoch loop.
+
+Parity with the reference's ``core_train.py:22`` ``CoreTrain`` (dataset
+prep :155-195, resume-epoch :107-116, callbacks :121-152) — minus Keras:
+the step is a single ``jax.jit``-compiled function over the device mesh;
+gradients, SyncBN moments and metric reductions ride GSPMD-inserted ICI
+collectives. The host loop owns checkpoint/log cadence.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from iseg_tpu.parallel.mesh import MeshEnv, shard_batch
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Carries params + BN batch_stats + optimizer state.
+
+    Equivalent of the reference's compiled-Keras-model + optimizer bundle
+    (``utils/model_utils.py:20`` ``create_compiled_model``)."""
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    input_shape: tuple[int, ...],
+    tx: optax.GradientTransformation,
+    input_dtype=jnp.float32,
+) -> TrainState:
+    """Init variables with a dummy forward pass (the reference builds
+    backbones the same way, ``backbones/feature_extractor.py:153-164``)."""
+    dummy = jnp.zeros(input_shape, input_dtype)
+    variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", flax.core.freeze({}))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def make_train_step(loss_fn: Callable, donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    ``loss_fn(outputs, labels) -> (total, parts_dict)`` — typically
+    ``model.build_loss_fn()`` (reference ``core_model.py:471``).
+    """
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, mutated = state.apply_fn(
+                variables,
+                batch["image"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            loss, parts = loss_fn(outputs, batch["label"])
+            return loss, (mutated.get("batch_stats", state.batch_stats), parts)
+
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        (loss, (new_batch_stats, parts)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_batch_stats)
+        return new_state, parts
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+class CoreTrain:
+    """Host training loop (reference ``core_train.py:74`` ``.train()``).
+
+    ``dataset_fn(epoch) -> iterable of {"image": [N,H,W,C], "label": [N,H,W]}``
+    host batches (global batch; sharded over the mesh's data axis here,
+    mirroring the reference's ``AutoShardPolicy.DATA`` pod sharding).
+    """
+
+    def __init__(
+        self,
+        env: MeshEnv,
+        model,
+        tx: optax.GradientTransformation,
+        loss_fn: Optional[Callable] = None,
+        input_shape: tuple[int, ...] = (1, 512, 512, 3),
+        seed: int = 0,
+        checkpoint_manager=None,
+        log_every: int = 50,
+    ):
+        self.env = env
+        self.model = model
+        self.loss_fn = loss_fn or model.build_loss_fn()
+        self.rng = jax.random.PRNGKey(seed)
+        self.state = create_train_state(model, self.rng, input_shape, tx)
+        self.train_step = make_train_step(self.loss_fn)
+        self.checkpoint_manager = checkpoint_manager
+        self.log_every = log_every
+
+    def restore(self):
+        """Resume from the latest checkpoint if one exists
+        (reference ``modelhelper.py:113`` ``restore_checkpoint``)."""
+        if self.checkpoint_manager is not None:
+            restored = self.checkpoint_manager.restore_latest(self.state)
+            if restored is not None:
+                self.state = restored
+        return int(self.state.step)
+
+    def train(
+        self,
+        dataset_fn: Callable[[int], Iterable[dict]],
+        epochs: int = 1,
+        steps_per_epoch: Optional[int] = None,
+        initial_epoch: int = 0,
+        on_epoch_end: Optional[Callable] = None,
+    ):
+        """Run the epoch loop (reference ``core_train.py:74-152``)."""
+        history = []
+        for epoch in range(initial_epoch, epochs):
+            t0 = time.time()
+            step_in_epoch = 0
+            last_parts = {}
+            for batch in dataset_fn(epoch):
+                batch = shard_batch(self.env.mesh, batch)
+                self.state, parts = self.train_step(self.state, batch, self.rng)
+                last_parts = parts
+                step_in_epoch += 1
+                if self.log_every and step_in_epoch % self.log_every == 0:
+                    loss = float(parts["loss"])
+                    print(
+                        f"epoch {epoch} step {step_in_epoch}: loss={loss:.4f}",
+                        flush=True,
+                    )
+                if steps_per_epoch and step_in_epoch >= steps_per_epoch:
+                    break
+            # epoch-end bookkeeping (reference TimeCallback + CheckpointSaver)
+            dt = time.time() - t0
+            record = {
+                "epoch": epoch,
+                "steps": step_in_epoch,
+                "seconds": dt,
+                **{k: float(v) for k, v in last_parts.items()},
+            }
+            history.append(record)
+            print(f"epoch {epoch} done in {dt:.1f}s: {record}", flush=True)
+            if self.checkpoint_manager is not None:
+                self.checkpoint_manager.save(int(self.state.step), self.state)
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, self.state)
+        return history

@@ -1,0 +1,108 @@
+"""Ignore-label categorical cross-entropy (+ focal variant).
+
+Parity with the reference's default loss
+``losses/catecrossentropy_ignore_label.py:14`` — flatten -> mask
+ignore_label -> one-hot -> per-class weights (:66-77) -> CE or focal ->
+optional OHEM (:82-83) -> average over the global batch (:85-86) — and the
+focal CE of ``losses/categorical_focal_crossentropy_loss.py:198``.
+
+TPU-first: everything stays [N,H,W,C] fp32 inside one jitted function; the
+"global" average is automatic under GSPMD because the reduction spans the
+sharded batch axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from iseg_tpu.losses.base import prepare_labels, valid_mask
+
+
+def softmax_focal_loss(
+    log_probs: jax.Array,
+    one_hot: jax.Array,
+    gamma: float = 2.0,
+    alpha: Optional[float] = 0.25,
+) -> jax.Array:
+    """Per-pixel focal CE given log-probs and one-hot labels
+    (reference ``categorical_focal_crossentropy_loss.py:198``)."""
+    probs = jnp.exp(log_probs)
+    pt = jnp.sum(one_hot * probs, axis=-1)
+    ce = -jnp.sum(one_hot * log_probs, axis=-1)
+    loss = ((1.0 - pt) ** gamma) * ce
+    if alpha is not None:
+        loss = alpha * loss
+    return loss
+
+
+def cross_entropy_ignore_label(
+    logits: jax.Array,
+    labels: jax.Array,
+    num_classes: Optional[int] = None,
+    ignore_label: int = 255,
+    class_weights: Optional[Sequence[float]] = None,
+    label_smoothing: float = 0.0,
+    use_focal: bool = False,
+    focal_gamma: float = 2.0,
+    focal_alpha: Optional[float] = 0.25,
+    ohem_fn: Optional[Callable] = None,
+    reduction: str = "valid_mean",
+) -> jax.Array:
+    """The framework's default segmentation loss
+    (reference ``catecrossentropy_ignore_label.py:14``).
+
+    Args:
+      logits: [N, H, W, C] (any float dtype; upcast to fp32 internally).
+      labels: [N, H, W] or [N, H, W, 1] int labels with ``ignore_label``.
+      class_weights: optional per-class loss weights (:66-77).
+      ohem_fn: from :func:`iseg_tpu.losses.get_ohem_fn`; applied to the
+        per-pixel losses (:82-83).
+      reduction: "valid_mean" (mean over contributing pixels, the
+        reference's behavior), "sum", or "none".
+    """
+    labels = prepare_labels(labels, logits)
+    logits = logits.astype(jnp.float32)
+    if num_classes is None:
+        num_classes = logits.shape[-1]
+
+    mask = valid_mask(labels, ignore_label)
+    safe_labels = jnp.where(mask > 0, labels, 0).astype(jnp.int32)
+    one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=jnp.float32)
+    if label_smoothing > 0.0:
+        one_hot = one_hot * (1.0 - label_smoothing) + label_smoothing / num_classes
+
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+
+    if use_focal:
+        pixel_loss = softmax_focal_loss(
+            log_probs, one_hot, gamma=focal_gamma, alpha=focal_alpha
+        )
+    else:
+        pixel_loss = -jnp.sum(one_hot * log_probs, axis=-1)
+
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        pixel_weights = jnp.take(w, safe_labels, axis=0)
+        pixel_loss = pixel_loss * pixel_weights
+        weight_map = pixel_weights * mask
+    else:
+        weight_map = mask
+
+    if ohem_fn is not None:
+        true_probs = jnp.sum(one_hot * jnp.exp(log_probs), axis=-1)
+        kept = ohem_fn(pixel_loss, true_probs, mask)
+        mask = mask * kept
+        weight_map = weight_map * kept
+
+    pixel_loss = pixel_loss * mask
+
+    if reduction == "none":
+        return pixel_loss
+    total = jnp.sum(pixel_loss)
+    if reduction == "sum":
+        return total
+    denom = jnp.maximum(jnp.sum(weight_map), 1.0)
+    return total / denom

@@ -1,0 +1,140 @@
+"""Image resizing and positional-embedding resampling.
+
+Parity with the reference's ``utils/common.py`` (``resize_image`` :107,
+scaled sizes :137-188, pos-embed resample :206-263). All functions are pure,
+jittable, static-shape (target sizes are Python ints at trace time), NHWC.
+
+TPU-first notes: ``jax.image.resize`` lowers bilinear/bicubic resizes to
+gather+matmul forms XLA tiles well; `antialias=False` matches TF2's
+``tf.image.resize`` default used throughout the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize_size(size) -> tuple[int, int]:
+    if isinstance(size, int):
+        return (size, size)
+    h, w = size
+    return (int(h), int(w))
+
+
+def resize_image(
+    x: jax.Array,
+    size: Sequence[int] | int,
+    method: str = "bilinear",
+    antialias: bool = False,
+) -> jax.Array:
+    """Resize NHWC (or HWC) images to ``size=(H, W)``.
+
+    Reference ``utils/common.py:107`` — bilinear for float tensors, nearest
+    for integer label maps. Half-pixel-center sampling matches
+    ``tf.image.resize`` semantics.
+    """
+    h, w = _normalize_size(size)
+    squeeze = False
+    if x.ndim == 3:
+        x = x[None]
+        squeeze = True
+    if x.ndim != 4:
+        raise ValueError(f"resize_image expects NHWC or HWC, got shape {x.shape}")
+
+    n, _, _, c = x.shape
+    if jnp.issubdtype(x.dtype, jnp.integer) or method == "nearest":
+        out = jax.image.resize(x, (n, h, w, c), method="nearest")
+    else:
+        out = jax.image.resize(x, (n, h, w, c), method=method, antialias=antialias)
+        out = out.astype(x.dtype)
+    if squeeze:
+        out = out[0]
+    return out
+
+
+def scaled_size(height: int, width: int, scale: float) -> tuple[int, int]:
+    """Scale a (H, W) pair like the reference's scaled-size helper
+    (``utils/common.py:137-188``): round-half-up per dimension, min 1."""
+    return (max(1, int(height * scale + 0.5)), max(1, int(width * scale + 0.5)))
+
+
+def resize_to_range(
+    height: int,
+    width: int,
+    min_size: int | None = None,
+    max_size: int | None = None,
+) -> tuple[int, int]:
+    """Compute a target size whose short side >= min_size and long side <=
+    max_size, preserving aspect ratio (reference ``data_process/utils.py:374``).
+
+    Pure Python math (sizes are static under jit)."""
+    scale = 1.0
+    if min_size is not None:
+        scale = max(scale, min_size / min(height, width))
+    if max_size is not None:
+        long_side = max(height, width) * scale
+        if long_side > max_size:
+            scale *= max_size / long_side
+    return scaled_size(height, width, scale)
+
+
+def resample_abs_pos_embed(
+    pos_embed: jax.Array,
+    new_hw: tuple[int, int],
+    old_hw: tuple[int, int] | None = None,
+    num_prefix_tokens: int = 1,
+    method: str = "bicubic",
+) -> jax.Array:
+    """Resample a [1, N(+prefix), C] absolute positional embedding to a new
+    grid size so ViT-family backbones stay input-size free.
+
+    Reference ``utils/common.py:206-263`` (bicubic resample, prefix tokens
+    such as the class token pass through unchanged).
+    """
+    if pos_embed.ndim != 3:
+        raise ValueError(f"pos_embed must be [1, N, C], got {pos_embed.shape}")
+    prefix = pos_embed[:, :num_prefix_tokens] if num_prefix_tokens else None
+    grid = pos_embed[:, num_prefix_tokens:]
+    n = grid.shape[1]
+    if old_hw is None:
+        side = int(round(n ** 0.5))
+        if side * side != n:
+            raise ValueError(f"cannot infer square grid from {n} tokens")
+        old_hw = (side, side)
+    oh, ow = old_hw
+    nh, nw = new_hw
+    if (oh, ow) == (nh, nw):
+        return pos_embed
+    c = grid.shape[-1]
+    grid = grid.reshape(1, oh, ow, c)
+    orig_dtype = grid.dtype
+    grid = jax.image.resize(grid.astype(jnp.float32), (1, nh, nw, c), method=method)
+    grid = grid.reshape(1, nh * nw, c).astype(orig_dtype)
+    if prefix is not None:
+        grid = jnp.concatenate([prefix, grid], axis=1)
+    return grid
+
+
+def dynamic_pad_2d(
+    x: jax.Array,
+    target_hw: tuple[int, int],
+    value: float | jax.Array = 0.0,
+    center: bool = False,
+) -> jax.Array:
+    """Pad NHWC/HWC spatial dims up to ``target_hw``
+    (reference ``utils/tensor_utils.py:5`` ``dynamic_padding_2d``)."""
+    spatial_offset = 1 if x.ndim == 4 else 0
+    h, w = x.shape[spatial_offset], x.shape[spatial_offset + 1]
+    th, tw = target_hw
+    ph, pw = max(0, th - h), max(0, tw - w)
+    if center:
+        top, left = ph // 2, pw // 2
+    else:
+        top, left = 0, 0
+    pad = [(0, 0)] * x.ndim
+    pad[spatial_offset] = (top, ph - top)
+    pad[spatial_offset + 1] = (left, pw - left)
+    return jnp.pad(x, pad, constant_values=value)
