@@ -1,0 +1,125 @@
+"""Directory -> PNG prediction driver.
+
+Parity with the reference's ``core_predict.py:21`` ``predict_with_dir``
+(file walk :173-192, pad/normalize preprocess :195-237, distributed predict
+:126-130, crop-to-original + PNG encode :132-170) and
+``default_image_predict`` (:240).
+
+TPU-first: images are padded up to a fixed bucket size so every batch hits
+one compiled program; low-precision compute comes from the model's dtype
+policy rather than a global floatx switch (:50-55).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iseg_tpu.core.inference import inference_with_multi_scales
+from iseg_tpu.core.model import SegModelInferenceConfig
+from iseg_tpu.data.input_norm import InputNormTypes, get_mean_pixel, normalize_input
+from iseg_tpu.data.loader import list_images, load_image
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def default_image_predict(
+    apply_fn: Callable,
+    variables,
+    images: jax.Array,
+    inference_config: Optional[SegModelInferenceConfig] = None,
+) -> jax.Array:
+    """images -> class-id map [N, H, W] (reference ``core_predict.py:240``)."""
+    cfg = inference_config or SegModelInferenceConfig()
+
+    def single(x):
+        out = apply_fn(variables, x, train=False)
+        if isinstance(out, dict):
+            out = out["output_0"]
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        return out
+
+    logits = inference_with_multi_scales(
+        single,
+        images,
+        scale_rates=tuple(cfg.scale_rates),
+        flip=cfg.flip,
+        sliding_window_crop_size=cfg.sliding_window_crop_size,
+        sliding_window_stride_rate=cfg.sliding_window_stride_rate,
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def predict_with_dir(
+    model,
+    variables,
+    input_dir: str,
+    output_dir: str,
+    batch_size: int = 1,
+    pad_multiple: int = 32,
+    norm: InputNormTypes = InputNormTypes.ZERO_MEAN,
+    inference_config: Optional[SegModelInferenceConfig] = None,
+    palette: Optional[Sequence[int]] = None,
+    verbose: bool = True,
+) -> list[str]:
+    """Predict every image in ``input_dir`` to a label PNG in ``output_dir``
+    (reference ``core_predict.py:21``). Returns written paths."""
+    try:
+        from PIL import Image as PILImage
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("PIL required for predict_with_dir") from e
+
+    os.makedirs(output_dir, exist_ok=True)
+    paths = list_images(input_dir)
+    if not paths:
+        return []
+
+    # one padded bucket for the whole directory -> one compiled program
+    sizes = []
+    raw_images = []
+    for p in paths:
+        img = load_image(p)
+        raw_images.append(img)
+        sizes.append(img.shape[:2])
+    bucket_h = _round_up(max(s[0] for s in sizes), pad_multiple)
+    bucket_w = _round_up(max(s[1] for s in sizes), pad_multiple)
+    mean_pixel = get_mean_pixel(norm)
+
+    predict_jit = jax.jit(
+        lambda x: default_image_predict(model.apply, variables, x, inference_config)
+    )
+
+    written = []
+    for start in range(0, len(paths), batch_size):
+        chunk = raw_images[start : start + batch_size]
+        batch = np.empty((len(chunk), bucket_h, bucket_w, 3), np.float32)
+        batch[:] = mean_pixel
+        for i, img in enumerate(chunk):
+            batch[i, : img.shape[0], : img.shape[1]] = img
+        batch = normalize_input(batch, norm)
+        # pad the final partial batch to full size for shape stability
+        if len(chunk) < batch_size:
+            pad = np.repeat(batch[-1:], batch_size - len(chunk), axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+
+        preds = np.asarray(predict_jit(jnp.asarray(batch)))
+        for i, img in enumerate(chunk):
+            h, w = sizes[start + i]
+            pred = preds[i, :h, :w].astype(np.uint8)
+            out = PILImage.fromarray(pred, mode="P" if palette else "L")
+            if palette:
+                out.putpalette(palette)
+            name = os.path.splitext(os.path.basename(paths[start + i]))[0] + ".png"
+            out_path = os.path.join(output_dir, name)
+            out.save(out_path)
+            written.append(out_path)
+        if verbose:
+            print(f"predicted {min(start + batch_size, len(paths))}/{len(paths)}", flush=True)
+    return written

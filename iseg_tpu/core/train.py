@@ -117,6 +117,7 @@ class CoreTrain:
         seed: int = 0,
         checkpoint_manager=None,
         log_every: int = 50,
+        callbacks: Optional[list] = None,
     ):
         self.env = env
         self.model = model
@@ -126,6 +127,7 @@ class CoreTrain:
         self.train_step = make_train_step(self.loss_fn)
         self.checkpoint_manager = checkpoint_manager
         self.log_every = log_every
+        self.callbacks = list(callbacks or [])
 
     def restore(self):
         """Resume from the latest checkpoint if one exists
@@ -147,6 +149,8 @@ class CoreTrain:
         """Run the epoch loop (reference ``core_train.py:74-152``)."""
         history = []
         for epoch in range(initial_epoch, epochs):
+            for cb in self.callbacks:
+                cb.on_epoch_begin(epoch, self.state)
             t0 = time.time()
             step_in_epoch = 0
             last_parts = {}
@@ -177,4 +181,8 @@ class CoreTrain:
                 self.checkpoint_manager.save(int(self.state.step), self.state)
             if on_epoch_end is not None:
                 on_epoch_end(epoch, self.state)
+            for cb in self.callbacks:
+                cb.on_epoch_end(epoch, self.state, record)
+        for cb in self.callbacks:
+            cb.on_train_end(self.state)
         return history
