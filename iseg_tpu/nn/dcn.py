@@ -1,0 +1,139 @@
+"""Deformable convolutions v2 and v3.
+
+Parity with the reference ``layers/dcn_v2.py:16`` (``DCNv2``: offset+mask
+conv, bilinear sampling, modulated kernel sum) and ``layers/dcn_v3/``
+(``dcn_v3.py:16``: grouped sampling with softmax-normalized modulation,
+input/output projections, as used by InternImage).
+
+TPU-first: sampling goes through ``deform_im2col`` (one batched gather into
+[N,H,W,K*K,C]); the convolution itself is then a dense [K*K*C, F] matmul on
+the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from iseg_tpu.ops.deform import deform_im2col
+
+
+class DCNv2(nn.Module):
+    """Modulated deformable conv (reference ``layers/dcn_v2.py:16``)."""
+
+    filters: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        k = self.kernel_size
+        kk = k * k
+
+        # offsets + modulation from a regular conv (zero-init so the layer
+        # starts as a plain conv, reference behavior)
+        off_mask = nn.Conv(
+            3 * kk, (k, k), strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation), padding="SAME",
+            kernel_init=nn.initializers.zeros_init(),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="offset_conv",
+        )(x)
+        offsets = off_mask[..., : 2 * kk].reshape(n, off_mask.shape[1],
+                                                  off_mask.shape[2], kk, 2)
+        mask = nn.sigmoid(off_mask[..., 2 * kk :])  # [N, Ho, Wo, K*K]
+
+        taps = deform_im2col(
+            x, offsets, kernel_size=k, stride=self.stride, dilation=self.dilation
+        )  # [N, Ho, Wo, K*K, C]
+        taps = taps * mask[..., None].astype(taps.dtype)
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kk * c, self.filters),
+            self.param_dtype,
+        )
+        ho, wo = taps.shape[1], taps.shape[2]
+        out = jnp.einsum(
+            "nhwt,tf->nhwf",
+            taps.reshape(n, ho, wo, kk * c),
+            kernel.astype(taps.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(taps.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.filters,), self.param_dtype)
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class DCNv3(nn.Module):
+    """Grouped deformable conv v3 (reference ``layers/dcn_v3/dcn_v3.py:16``,
+    XLA op ``op.py:16``): input proj -> depthwise-conv-derived offsets +
+    softmax modulation per group -> grouped sampling -> output proj."""
+
+    filters: int
+    kernel_size: int = 3
+    groups: int = 4
+    stride: int = 1
+    dilation: int = 1
+    offset_scale: float = 1.0
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        k = self.kernel_size
+        kk = k * k
+        g = self.groups
+        if self.filters % g != 0:
+            raise ValueError(f"filters {self.filters} not divisible by groups {g}")
+        gc = self.filters // g
+
+        # value projection
+        v = nn.Dense(self.filters, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="value_proj")(x)
+
+        # offset/modulation branch: depthwise conv + linear heads
+        # (reference dcn_v3.py builds offsets from a dw-conv feature)
+        feat = nn.Conv(
+            c, (k, k), strides=(self.stride, self.stride),
+            feature_group_count=c, padding="SAME",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="dw_conv",
+        )(x)
+        feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="offset_norm")(feat)
+        feat = nn.gelu(feat)
+        offsets = nn.Dense(2 * g * kk, kernel_init=nn.initializers.zeros_init(),
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="offset_head")(feat)
+        modul = nn.Dense(g * kk, kernel_init=nn.initializers.zeros_init(),
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="mask_head")(feat)
+
+        ho, wo = offsets.shape[1], offsets.shape[2]
+        offsets = offsets.reshape(n, ho, wo, g, kk, 2) * self.offset_scale
+        # softmax over the K*K taps per group (reference dcn_v3 semantics)
+        modul = jax.nn.softmax(
+            modul.reshape(n, ho, wo, g, kk).astype(jnp.float32), axis=-1
+        ).astype(v.dtype)
+
+        vg = v.reshape(n, h, w, g, gc)
+        outs = []
+        for gi in range(g):
+            taps = deform_im2col(
+                vg[:, :, :, gi], offsets[:, :, :, gi],
+                kernel_size=k, stride=self.stride, dilation=self.dilation,
+            )  # [N, Ho, Wo, K*K, gc]
+            outs.append(jnp.einsum("nhwtc,nhwt->nhwc", taps, modul[:, :, :, gi]))
+        out = jnp.concatenate(outs, axis=-1)  # [N, Ho, Wo, filters]
+
+        return nn.Dense(self.filters, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="output_proj")(out)

@@ -8,5 +8,20 @@ output first) — ``SegManaged`` attaches the logits convs.
 
 from iseg_tpu.nn.heads.simpledecoder import SimpleDecoder
 from iseg_tpu.nn.heads.aspp import ASPP, AtrousSpatialPyramidPooling
+from iseg_tpu.nn.heads.fpn import FeaturePyramidNetwork, SemanticFPN
+from iseg_tpu.nn.heads.jpu import JPU, JointPyramidUpsampling
+from iseg_tpu.nn.heads.fapn import FAPN, FeatureAlignedPyramidNet
+from iseg_tpu.nn.heads.nasfpn import NASFPN
 
-__all__ = ["SimpleDecoder", "ASPP", "AtrousSpatialPyramidPooling"]
+__all__ = [
+    "SimpleDecoder",
+    "ASPP",
+    "AtrousSpatialPyramidPooling",
+    "FeaturePyramidNetwork",
+    "SemanticFPN",
+    "JPU",
+    "JointPyramidUpsampling",
+    "FAPN",
+    "FeatureAlignedPyramidNet",
+    "NASFPN",
+]

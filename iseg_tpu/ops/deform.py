@@ -1,0 +1,101 @@
+"""Deformable-convolution sampling core: batched bilinear gather.
+
+Parity with the reference's pure-TF bilinear samplers
+(``layers/dcn_v2.py:121`` ``_forward``, ``layers/dcn_v3/utils.py:65,110``)
+which it XLA-jits (``layers/dcn_v3/op.py:11-16``).
+
+TPU-first design: instead of per-tap scalar sampling, all K*K taps are
+gathered at once into an im2col layout [N, H, W, K*K, C]; the deformable
+conv then reduces over (K*K, C) with a plain matmul — the gather is the
+only irregular op and the FLOPs land on the MXU. The gather itself is four
+``take_along_axis`` ops over flattened spatial indices, which XLA lowers to
+TPU dynamic-gather. A Pallas double-buffered variant can slot in behind the
+same signature (``iseg_tpu.ops.pallas``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_gather(x: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample ``x`` [N, H, W, C] at float ``coords`` [N, P, 2] (y, x order,
+    pixel units). Out-of-bounds samples contribute zero, matching the
+    reference's zero-padding semantics (``dcn_v2.py:121-175``).
+
+    Returns [N, P, C].
+    """
+    n, h, w, c = x.shape
+    y = coords[..., 0].astype(jnp.float32)
+    xf = coords[..., 1].astype(jnp.float32)
+
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(xf)
+    ty = y - y0
+    tx = xf - x0
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat_idx = yc * w + xc  # [N, P]
+        flat = x.reshape(n, h * w, c)
+        out = jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
+        return out * valid[..., None].astype(x.dtype)
+
+    w00 = ((1 - ty) * (1 - tx))[..., None].astype(x.dtype)
+    w01 = ((1 - ty) * tx)[..., None].astype(x.dtype)
+    w10 = (ty * (1 - tx))[..., None].astype(x.dtype)
+    w11 = (ty * tx)[..., None].astype(x.dtype)
+
+    return (
+        gather(y0, x0) * w00
+        + gather(y0, x0 + 1) * w01
+        + gather(y0 + 1, x0) * w10
+        + gather(y0 + 1, x0 + 1) * w11
+    )
+
+
+def deform_im2col(
+    x: jax.Array,
+    offsets: jax.Array,
+    kernel_size: int = 3,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """Gather the K*K deformed taps for every output position.
+
+    Args:
+      x: [N, H, W, C] input.
+      offsets: [N, Ho, Wo, K*K, 2] (dy, dx) learned offsets.
+    Returns: [N, Ho, Wo, K*K, C] sampled taps (im2col layout).
+    """
+    n, h, w, c = x.shape
+    k = kernel_size
+    ho = (h - 1) // stride + 1
+    wo = (w - 1) // stride + 1
+
+    # base sampling grid: output centers + kernel tap offsets
+    ys = jnp.arange(ho, dtype=jnp.float32) * stride
+    xs = jnp.arange(wo, dtype=jnp.float32) * stride
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")  # [Ho, Wo]
+
+    half = (k - 1) / 2.0
+    tap = (jnp.arange(k, dtype=jnp.float32) - half) * dilation
+    tap_y, tap_x = jnp.meshgrid(tap, tap, indexing="ij")  # [K, K]
+    tap_y = tap_y.reshape(-1)
+    tap_x = tap_x.reshape(-1)
+
+    base_y = grid_y[None, :, :, None] + tap_y[None, None, None, :]
+    base_x = grid_x[None, :, :, None] + tap_x[None, None, None, :]
+    coords = jnp.stack(
+        [
+            base_y + offsets[..., 0].astype(jnp.float32),
+            base_x + offsets[..., 1].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # [N, Ho, Wo, K*K, 2]
+
+    sampled = bilinear_gather(x, coords.reshape(n, ho * wo * k * k, 2))
+    return sampled.reshape(n, ho, wo, k * k, c)
