@@ -53,14 +53,17 @@ def main():
     y = np.random.RandomState(1).randint(0, 21, (batch, hw, hw)).astype(np.int32)
     data = {"image": jnp.asarray(x, dtype), "label": jnp.asarray(y)}
 
+    # NOTE: block on `parts` (fresh buffers), not just donated state arrays —
+    # block_until_ready on donation-aliased buffers can return early on some
+    # PJRT backends, inflating throughput ~10x.
     for _ in range(warmup):
         state, parts = step_fn(state, data, rng)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready((state.params, parts))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, parts = step_fn(state, data, rng)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready((state.params, parts))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

@@ -1,0 +1,138 @@
+"""Gemma causal LM: cached generation + scoring.
+
+Parity with the reference ``nlp/gemma/gemma_causal.py:33`` (``GemmaCausalLM``:
+``call_with_cache`` :186-226, ``_build_cache`` :228-239, XLA-compilable
+``generate_step`` sampler loop :241-314, ``score()`` :316).
+
+TPU-first: prefill is one batched forward; decode is a ``lax.scan`` over
+token slots (static trip count = max_length), each step a single-token
+forward against the KV cache — one compiled program for the whole
+generation, matching the reference's jit-compiled sampler loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from iseg_tpu.nlp.gemma.config import GemmaConfig
+from iseg_tpu.nlp.gemma.model import GemmaBackbone, causal_mask
+
+
+@dataclasses.dataclass
+class GemmaCausalLM:
+    """Host-side wrapper pairing a GemmaBackbone with sampling drivers."""
+
+    config: GemmaConfig
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self.backbone = GemmaBackbone(
+            config=self.config, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+
+    # -- setup ------------------------------------------------------------
+    def init(self, rng, batch=1, seq=8):
+        return self.backbone.init(rng, jnp.zeros((batch, seq), jnp.int32))
+
+    def build_cache(self, batch: int, max_length: int):
+        """[B, layers, 2, max_len, kv_heads, head_dim]
+        (reference ``gemma_causal.py:228-239``)."""
+        cfg = self.config
+        return jnp.zeros(
+            (batch, cfg.num_layers, 2, max_length, cfg.num_kv_heads, cfg.head_dim),
+            self.dtype or jnp.float32,
+        )
+
+    # -- forward ----------------------------------------------------------
+    def __call__(self, variables, token_ids):
+        hidden = self.backbone.apply(variables, token_ids)
+        return self.backbone.apply(variables, hidden, method=GemmaBackbone.logits)
+
+    def call_with_cache(self, variables, token_ids, caches, cache_index, positions):
+        """One forward writing k/v at ``cache_index``; attends over the whole
+        cache with position-aware masking (reference :186-226)."""
+        hidden, new_caches = self.backbone.apply(
+            variables, token_ids, positions=positions,
+            caches=caches, cache_index=cache_index,
+        )
+        logits = self.backbone.apply(variables, hidden,
+                                     method=GemmaBackbone.logits)
+        return logits, new_caches
+
+    # -- generation -------------------------------------------------------
+    def generate(
+        self,
+        variables,
+        prompt_ids: jax.Array,  # [B, P] int32 (left-aligned, 0-padded)
+        prompt_lengths: jax.Array,  # [B]
+        max_length: int,
+        temperature: float = 0.0,  # 0 = greedy
+        rng: Optional[jax.Array] = None,
+        end_token_id: Optional[int] = None,
+    ) -> jax.Array:
+        """Returns [B, max_length] generated ids (prompt included).
+        Jit-compilable end to end (reference ``generate_step`` :241-314)."""
+        b, p = prompt_ids.shape
+        caches = self.build_cache(b, max_length)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        # prefill: run the whole prompt once, cache k/v at [0, P); the
+        # position-aware causal mask hides the not-yet-written cache tail
+        positions = jnp.broadcast_to(jnp.arange(p)[None], (b, p))
+        logits, caches = self.call_with_cache(
+            variables, prompt_ids, caches, 0, positions
+        )
+
+        tokens = jnp.zeros((b, max_length), jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
+
+        # last real prompt token's logits seed the first generated token
+        last_idx = jnp.clip(prompt_lengths - 1, 0, p - 1)
+        next_logits = jnp.take_along_axis(
+            logits, last_idx[:, None, None], axis=1
+        )[:, 0]
+
+        def sample(logits, key):
+            if temperature == 0.0:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jax.random.categorical(key, logits / temperature).astype(jnp.int32)
+
+        done0 = jnp.zeros((b,), bool)
+
+        def step(carry, i):
+            tokens, caches, next_logits, key, done = carry
+            key, sub = jax.random.split(key)
+            new_tok = sample(next_logits, sub)
+            # only write into positions >= the prompt length
+            in_gen = (i >= prompt_lengths) & (~done)
+            cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
+            tok = jnp.where(in_gen, new_tok, cur)
+            tokens2 = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, i))
+            if end_token_id is not None:
+                done = done | (in_gen & (tok == end_token_id))
+
+            # decode forward for position i (writes cache at i)
+            positions_i = jnp.full((b, 1), i, jnp.int32)
+            logits_i, caches2 = self.call_with_cache(
+                variables, tok[:, None], caches, i, positions_i
+            )
+            return (tokens2, caches2, logits_i[:, 0], key, done), None
+
+        init = (tokens, caches, next_logits, rng, done0)
+        (tokens, *_), _ = jax.lax.scan(step, init, jnp.arange(p, max_length))
+        return tokens
+
+    def score(self, variables, token_ids):
+        """Per-token log-likelihood of ``token_ids``
+        (reference ``gemma_causal.py:316``)."""
+        logits = self(variables, token_ids)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        target = token_ids[:, 1:]
+        lp = jnp.take_along_axis(log_probs[:, :-1], target[..., None], axis=-1)
+        return lp[..., 0]

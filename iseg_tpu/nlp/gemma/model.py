@@ -1,0 +1,207 @@
+"""Gemma backbone: embedding, decoder blocks (RoPE + GQA attention, GeGLU
+FFN, RMSNorm), final norm.
+
+Parity with the reference ``nlp/gemma/``: ``gemma_backbone.py:33``
+(backbone), ``gemma_decoder_block.py:29`` (block + causal mask :114),
+``gemma_attention.py:24`` (attention with RoPE :96 and KV cache :116-151),
+``rms_normalization.py:19``.
+
+TPU-first: attention uses ``jax.nn.dot_product_attention`` for the prefill
+path; the single-token decode path uses explicit einsums against the cache
+(cache layout [B, L, 2, max_len, kv_heads, head_dim] sliced per layer).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from iseg_tpu.nlp.gemma.config import GemmaConfig
+
+
+class RMSNorm(nn.Module):
+    epsilon: float = 1e-6
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.zeros_init(),
+                           (x.shape[-1],), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.epsilon)
+        # gemma convention: (1 + scale)
+        return (xf * (1.0 + scale.astype(jnp.float32))).astype(x.dtype)
+
+
+def apply_rope_1d(x: jax.Array, positions: jax.Array,
+                  max_wavelength: float = 10000.0) -> jax.Array:
+    """RoPE over sequence positions. x: [B, T, H, D], positions: [B, T]."""
+    d = x.shape[-1]
+    half = d // 2
+    freq = jnp.exp(
+        -jnp.log(max_wavelength) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    ang = positions[..., None].astype(jnp.float32) * freq  # [B, T, half]
+    sin = jnp.sin(ang)[:, :, None, :]
+    cos = jnp.cos(ang)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+class GemmaAttention(nn.Module):
+    """GQA attention with RoPE + optional KV cache
+    (reference ``gemma_attention.py:24``)."""
+
+    config: GemmaConfig
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
+        cfg = self.config
+        b, t, _ = x.shape
+        h, kvh, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        q = nn.DenseGeneral((h, d), axis=-1, use_bias=False, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="query")(x)
+        k = nn.DenseGeneral((kvh, d), axis=-1, use_bias=False, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="key")(x)
+        v = nn.DenseGeneral((kvh, d), axis=-1, use_bias=False, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="value")(x)
+
+        q = apply_rope_1d(q, positions, cfg.rope_max_wavelength)
+        k = apply_rope_1d(k, positions, cfg.rope_max_wavelength)
+        q = q * (d ** -0.5)
+
+        new_cache = None
+        if cache is not None:
+            # cache: [B, 2, max_len, kvh, d]; write current k/v at cache_index
+            ck, cv = cache[:, 0], cache[:, 1]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
+            new_cache = jnp.stack([ck, cv], axis=1)
+            k, v = ck, cv  # attend over the full cache
+
+        # GQA: repeat kv heads up to query heads
+        if kvh != h:
+            rep = h // kvh
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.float32(-1e9))
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v)
+        out = nn.DenseGeneral(cfg.hidden_dim, axis=(-2, -1), use_bias=False,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="attention_output")(out)
+        return out, new_cache
+
+
+class GemmaDecoderBlock(nn.Module):
+    """Pre-norm attention + pre-norm GeGLU FFN
+    (reference ``gemma_decoder_block.py:29``)."""
+
+    config: GemmaConfig
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
+        cfg = self.config
+        h = RMSNorm(epsilon=cfg.layer_norm_epsilon,
+                    param_dtype=self.param_dtype, name="pre_attention_norm")(x)
+        attn, new_cache = GemmaAttention(
+            config=cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="attention",
+        )(h, positions, mask=mask, cache=cache, cache_index=cache_index)
+        x = x + attn
+
+        h = RMSNorm(epsilon=cfg.layer_norm_epsilon,
+                    param_dtype=self.param_dtype, name="pre_ffw_norm")(x)
+        gate = nn.Dense(cfg.intermediate_dim, use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="gating_ffw")(h)
+        up = nn.Dense(cfg.intermediate_dim, use_bias=False, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="gating_ffw_2")(h)
+        ffw = nn.gelu(gate, approximate=True) * up
+        ffw = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="ffw_linear")(ffw)
+        return x + ffw, new_cache
+
+
+def causal_mask(t: int, positions: jax.Array, kv_len: Optional[int] = None,
+                cache_index=None) -> jax.Array:
+    """[B, 1, T, S] boolean causal mask (reference
+    ``gemma_decoder_block.py:114``)."""
+    if kv_len is None:
+        kv_len = t
+    kv_pos = jnp.arange(kv_len)[None, None, None, :]
+    q_pos = positions[:, None, :, None]
+    return kv_pos <= q_pos
+
+
+class GemmaBackbone(nn.Module):
+    """Embedding -> blocks -> final norm (reference ``gemma_backbone.py:33``).
+    Logits come from the tied embedding (``reverse_embeddings``)."""
+
+    config: GemmaConfig
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.token_embedding = nn.Embed(
+            cfg.vocab_size, cfg.hidden_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="token_embedding",
+        )
+        self.blocks = [
+            GemmaDecoderBlock(config=cfg, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name=f"layer_{i}")
+            for i in range(cfg.num_layers)
+        ]
+        self.final_norm = RMSNorm(epsilon=cfg.layer_norm_epsilon,
+                                  param_dtype=self.param_dtype,
+                                  name="final_normalization")
+
+    def __call__(self, token_ids, positions=None, mask=None,
+                 caches=None, cache_index=None):
+        """token_ids [B, T] -> hidden [B, T, D] (+ updated caches)."""
+        cfg = self.config
+        b, t = token_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        x = self.token_embedding(token_ids)
+        x = x * jnp.asarray(cfg.hidden_dim ** 0.5, x.dtype)
+
+        if mask is None:
+            kv_len = caches.shape[3] if caches is not None else t
+            mask = causal_mask(t, positions, kv_len=kv_len)
+
+        new_caches = []
+        for i, block in enumerate(self.blocks):
+            cache_i = caches[:, i] if caches is not None else None
+            x, new_cache = block(x, positions, mask=mask, cache=cache_i,
+                                 cache_index=cache_index)
+            if new_cache is not None:
+                new_caches.append(new_cache)
+        x = self.final_norm(x)
+        if new_caches:
+            return x, jnp.stack(new_caches, axis=1)
+        return x
+
+    def logits(self, hidden):
+        """Tied-embedding readout."""
+        emb = self.token_embedding.embedding
+        return jnp.einsum("btd,vd->btv", hidden.astype(jnp.float32),
+                          emb.astype(jnp.float32))
