@@ -278,6 +278,37 @@ def get_optimizer(
     return optax.chain(*chain), schedule
 
 
+def get_optimizer_list(
+    params,
+    group_patterns: Sequence[str],
+    names: Sequence[str],
+    learning_rates: Sequence[float],
+    default_group: int = 0,
+    **common_kwargs,
+) -> optax.GradientTransformation:
+    """List-valued optimizer construction (reference ``core_optimizer.py:55-106``:
+    list-valued kwargs produce one optimizer per entry, routed by parameter
+    group). ``group_patterns[i]`` (regex on the param path) selects the
+    params handled by optimizer i; unmatched params go to ``default_group``.
+    """
+    if not (len(group_patterns) == len(names) == len(learning_rates)):
+        raise ValueError("group_patterns/names/learning_rates must align")
+
+    compiled = [(i, re.compile(p)) for i, p in enumerate(group_patterns)]
+
+    def label_fn(path_str: str) -> str:
+        for i, rx in compiled:
+            if rx.search(path_str):
+                return str(i)
+        return str(default_group)
+
+    optimizers = {
+        str(i): get_optimizer(params, name=n, learning_rate=lr, **common_kwargs)[0]
+        for i, (n, lr) in enumerate(zip(names, learning_rates))
+    }
+    return get_multi_optimizer(params, label_fn, optimizers)
+
+
 def get_multi_optimizer(
     params,
     label_fn: Callable[[str], str],
