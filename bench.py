@@ -21,6 +21,12 @@ TF_BASELINE_IMG_PER_SEC = 100.0  # provisional TF2/Keras estimate, v5e chip
 
 
 def main():
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        __import__("os").path.expanduser("~/.cache/iseg_tpu_xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from iseg_tpu.backbones import get_backbone
     from iseg_tpu.core.model import SegManaged
     from iseg_tpu.core.optimizer import get_optimizer

@@ -34,6 +34,9 @@ class EnvConfig:
     random_seed: int = 0
     mixed_precision: bool = True
     model_parallelism: int = 1
+    # persistent XLA compilation cache (first ResNet-50-sized compile can
+    # take minutes on TPU; subsequent runs hit the cache)
+    compilation_cache_dir: str | None = "~/.cache/iseg_tpu_xla"
     # multi-host (TPU pod): call jax.distributed.initialize first
     initialize_distributed: bool = False
     coordinator_address: str | None = None
@@ -50,6 +53,14 @@ def common_env_setup(config: EnvConfig | None = None, **kwargs) -> MeshEnv:
     """
     if config is None:
         config = EnvConfig(**kwargs)
+
+    if config.compilation_cache_dir:
+        cache_dir = os.path.expanduser(config.compilation_cache_dir)
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax without the knob
 
     if config.initialize_distributed:
         jax.distributed.initialize(
