@@ -1,0 +1,56 @@
+import numpy as np
+
+from iseg_tpu.utils.buckets import bucket_hw, bucket_stats, crop_logits, pad_to_bucket
+
+
+def test_bucket_hw():
+    assert bucket_hw(500, 353, 128) == (512, 384)
+    assert bucket_hw(512, 512, 128) == (512, 512)
+    assert bucket_hw(1, 1, 128) == (128, 128)
+
+
+def test_pad_crop_roundtrip():
+    img = np.random.RandomState(0).rand(100, 150, 3).astype(np.float32)
+    lab = np.zeros((100, 150), np.int32)
+    pimg, plab, hw = pad_to_bucket(img, lab, multiple=64, mean_pixel=0.5)
+    assert pimg.shape == (128, 192, 3)
+    assert plab[127, 191] == 255
+    assert hw == (100, 150)
+    logits = np.random.RandomState(1).rand(1, 128, 192, 5)
+    cropped = crop_logits(logits, hw)
+    assert cropped.shape == (1, 100, 150, 5)
+    np.testing.assert_allclose(pimg[:100, :150], img)
+
+
+def test_bucket_stats_bounds_programs():
+    sizes = [(480 + i, 640 + j) for i in range(0, 60, 7) for j in range(0, 60, 11)]
+    stats = bucket_stats(sizes, multiple=128)
+    assert sum(stats.values()) == len(sizes)
+    assert len(stats) <= 4  # bounded compile count
+
+
+def test_layerwise_decay_multipliers():
+    import jax.numpy as jnp
+    import re
+
+    from iseg_tpu.core.optimizer import layerwise_decay_multipliers
+
+    params = {
+        "patch_embed": {"kernel": jnp.ones(1)},
+        "block0": {"kernel": jnp.ones(1)},
+        "block5": {"kernel": jnp.ones(1)},
+        "norm": {"scale": jnp.ones(1)},
+    }
+
+    def layer_index(path):
+        m = re.search(r"block(\d+)", path)
+        if m:
+            return int(m.group(1)) + 1
+        if "patch_embed" in path:
+            return 0
+        return None  # head params: no decay
+
+    mt = layerwise_decay_multipliers(params, 0.9, layer_index, num_layers=7)
+    assert mt["norm"]["scale"] == 1.0
+    assert abs(mt["block5"]["kernel"] - 0.9) < 1e-9
+    assert mt["patch_embed"]["kernel"] < mt["block0"]["kernel"] < mt["block5"]["kernel"]
