@@ -68,6 +68,10 @@ class SegFoundation(SegBase):
     focal_loss_alpha: Optional[float] = 0.25
     class_weights: Optional[Sequence[float]] = None
     ignore_label: int = 255
+    # fuse the logits upsample into the loss (Pallas kernel): pair with
+    # upsample_logits=False so full-res logits never materialize. Plain CE
+    # only (no OHEM/focal/class-weights on the fused path).
+    fuse_upsample_loss: bool = False
 
     def custom_losses_weights(self) -> list[float]:
         """Main + aux loss weights (reference ``core_model.py:531``)."""
@@ -81,12 +85,29 @@ class SegFoundation(SegBase):
         ohem_fn = (
             get_ohem_fn(self.ohem_thresh, self.ohem_min_kept) if self.use_ohem else None
         )
+        use_fused = (
+            self.fuse_upsample_loss
+            and not self.use_ohem
+            and not self.use_focal_loss
+            and self.class_weights is None
+        )
 
         def loss_fn(outputs, labels):
             outs = normalize_outputs(outputs)
             total = 0.0
             parts = {}
             for i, (key, logits) in enumerate(outs.items()):
+                if use_fused and logits.shape[1] < labels.shape[1]:
+                    from iseg_tpu.ops.pallas.upsample_ce import (
+                        upsample_cross_entropy,
+                    )
+
+                    loss = upsample_cross_entropy(
+                        logits, labels, ignore_label=self.ignore_label
+                    )
+                    parts[f"{key}_loss"] = loss
+                    total = total + weights[i] * loss if i < len(weights) else total + loss
+                    continue
                 loss = cross_entropy_ignore_label(
                     logits,
                     labels,

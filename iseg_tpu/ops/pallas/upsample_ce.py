@@ -1,0 +1,253 @@
+"""Fused bilinear-upsample + ignore-label cross-entropy (Pallas TPU kernel).
+
+The hot tail of segmentation training (reference semantics: logits are
+bilinearly upsampled to input size, ``layers/core_model_ext.py:199-226``,
+then fed to masked CE, ``losses/catecrossentropy_ignore_label.py``) costs
+two full-resolution [N, H, W, C] materializations (upsampled logits +
+softmax grads) — ~1 GB of HBM traffic per step at 512^2 batch 16.
+
+This kernel computes the loss straight from the output-stride logits:
+per output row-tile, the bilinear interpolation is two small matmuls
+against host-precomputed interp matrices (MXU), followed by an fp32
+log-softmax + label gather + ignore-mask reduction in VMEM. The backward
+kernel accumulates d(loss)/d(src logits) tile by tile into a VMEM-resident
+[h, w, C] block (the TPU grid runs sequentially, so revisiting the same
+output block is race-free). Full-res logits never touch HBM.
+
+``upsample_cross_entropy`` carries a custom VJP; interpret mode makes the
+same kernels testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interp_matrix(dst: int, src: int) -> np.ndarray:
+    """[dst, src] half-pixel bilinear interpolation matrix (clamped edges),
+    matching ``jax.image.resize(..., "linear", antialias=False)``."""
+    r = dst / src
+    pos = (np.arange(dst) + 0.5) / r - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    frac = pos - lo
+    m = np.zeros((dst, src), np.float32)
+    l0 = np.clip(lo, 0, src - 1)
+    l1 = np.clip(lo + 1, 0, src - 1)
+    np.add.at(m, (np.arange(dst), l0), 1.0 - frac)
+    np.add.at(m, (np.arange(dst), l1), frac)
+    return m
+
+
+def _pick_tile(h: int, target: int = 64) -> int:
+    for t in (target, 32, 16, 8, 4, 2, 1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+def _fwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, loss_ref, weight_ref,
+                *, ignore_label: int, num_classes: int):
+    src = src_ref[0].astype(jnp.float32)          # [h, w, C]
+    labels = labels_ref[0]                        # [TH, W]
+    rh = rh_ref[:]                                # [TH, h] (this tile's rows)
+    rw = rw_ref[:]                                # [W, w]
+
+    # interpolate: [TH, h] @ [h, w*C] -> [TH, w, C]; then along W
+    h, w, c = src.shape
+    a = jnp.dot(rh, src.reshape(h, w * c),
+                preferred_element_type=jnp.float32).reshape(-1, w, c)
+    # [W, w] @ [w, TH*C]: transpose a to [w, TH, C]
+    th = a.shape[0]
+    a_t = a.transpose(1, 0, 2).reshape(w, th * c)
+    up = jnp.dot(rw, a_t, preferred_element_type=jnp.float32)
+    up = up.reshape(-1, th, c).transpose(1, 0, 2)  # [TH, W, C]
+
+    m = jnp.max(up, axis=-1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(up - m), axis=-1)) + m[..., 0]
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, up.shape, 2)
+    true_logit = jnp.sum(
+        jnp.where(class_ids == labels[:, :, None], up, 0.0), axis=-1
+    )
+    valid = (labels != ignore_label).astype(jnp.float32)
+    ce = (lse - true_logit) * valid
+
+    loss_ref[0, 0] = jnp.sum(ce)
+    weight_ref[0, 0] = jnp.sum(valid)
+
+
+def _bwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, g_ref, dsrc_ref,
+                *, ignore_label: int, num_classes: int):
+    t = pl.program_id(1)
+    src = src_ref[0].astype(jnp.float32)
+    labels = labels_ref[0]
+    rh = rh_ref[:]
+    rw = rw_ref[:]
+    g = g_ref[0]
+
+    h, w, c = src.shape
+    a = jnp.dot(rh, src.reshape(h, w * c),
+                preferred_element_type=jnp.float32).reshape(-1, w, c)
+    th = a.shape[0]
+    a_t = a.transpose(1, 0, 2).reshape(w, th * c)
+    up = jnp.dot(rw, a_t, preferred_element_type=jnp.float32)
+    up = up.reshape(-1, th, c).transpose(1, 0, 2)
+
+    m = jnp.max(up, axis=-1, keepdims=True)
+    e = jnp.exp(up - m)
+    softmax = e / jnp.sum(e, axis=-1, keepdims=True)
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, up.shape, 2)
+    one_hot = (class_ids == labels[:, :, None]).astype(jnp.float32)
+    valid = (labels != ignore_label).astype(jnp.float32)
+    dup = (softmax - one_hot) * valid[:, :, None] * g  # [TH, W, C]
+
+    # transpose-interpolate back: dA = Rw^T @ dup ; dsrc_tile = Rh^T @ dA
+    dup_t = dup.transpose(1, 0, 2).reshape(-1, th * c)   # [W, TH*C]
+    da = jnp.dot(rw.T, dup_t, preferred_element_type=jnp.float32)
+    da = da.reshape(w, th, c).transpose(1, 0, 2)          # [TH, w, C]
+    dsrc_tile = jnp.dot(rh.T, da.reshape(th, w * c),
+                        preferred_element_type=jnp.float32).reshape(h, w, c)
+
+    @pl.when(t == 0)
+    def _():
+        dsrc_ref[0] = dsrc_tile
+
+    @pl.when(t != 0)
+    def _():
+        dsrc_ref[0] = dsrc_ref[0] + dsrc_tile
+
+
+def _run_fwd(src, labels, rh, rw, th, ignore_label, interpret):
+    n, h, w, c = src.shape
+    hh, ww = labels.shape[1], labels.shape[2]
+    grid = (n, hh // th)
+    kernel = functools.partial(_fwd_kernel, ignore_label=ignore_label,
+                               num_classes=c)
+    loss, weight = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+            pl.BlockSpec((1, th, ww), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, h), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ww, w), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hh // th), jnp.float32),
+            jax.ShapeDtypeStruct((n, hh // th), jnp.float32),
+        ],
+        interpret=interpret,
+    )(src, labels, rh, rw)
+    return jnp.sum(loss), jnp.sum(weight)
+
+
+def _run_bwd(src, labels, rh, rw, g, th, ignore_label, interpret):
+    n, h, w, c = src.shape
+    hh, ww = labels.shape[1], labels.shape[2]
+    grid = (n, hh // th)
+    kernel = functools.partial(_bwd_kernel, ignore_label=ignore_label,
+                               num_classes=c)
+    g_arr = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (n,))
+    dsrc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, ww), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, h), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ww, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.float32),
+        interpret=interpret,
+    )(src, labels, rh, rw, g_arr)
+    return dsrc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_sums(src, labels, target_hw, ignore_label, interpret):
+    rh_full = jnp.asarray(_interp_matrix(target_hw[0], src.shape[1]))
+    rw = jnp.asarray(_interp_matrix(target_hw[1], src.shape[2]))
+    th = _pick_tile(target_hw[0])
+    return _run_fwd(src, labels, rh_full, rw, th, ignore_label, interpret)
+
+
+def _fused_sums_fwd(src, labels, target_hw, ignore_label, interpret):
+    out = _fused_sums(src, labels, target_hw, ignore_label, interpret)
+    return out, (src, labels)
+
+
+def _fused_sums_bwd(target_hw, ignore_label, interpret, res, g):
+    src, labels = res
+    g_loss, _ = g
+    rh_full = jnp.asarray(_interp_matrix(target_hw[0], src.shape[1]))
+    rw = jnp.asarray(_interp_matrix(target_hw[1], src.shape[2]))
+    th = _pick_tile(target_hw[0])
+    dsrc = _run_bwd(src, labels, rh_full, rw, g_loss, th, ignore_label, interpret)
+    return dsrc.astype(src.dtype), None
+
+
+_fused_sums.defvjp(_fused_sums_fwd, _fused_sums_bwd)
+
+
+def upsample_cross_entropy(
+    src_logits: jax.Array,
+    labels: jax.Array,
+    target_hw: Optional[tuple[int, int]] = None,
+    ignore_label: int = 255,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Mean ignore-label CE of bilinearly-upsampled logits, fused.
+
+    Equivalent to ``cross_entropy_ignore_label(resize(src_logits, target),
+    labels)`` without materializing the upsampled logits.
+
+    Args:
+      src_logits: [N, h, w, C] logits at backbone output stride.
+      labels: [N, H, W] int labels at target resolution.
+      target_hw: defaults to the labels' (H, W).
+    """
+    if labels.ndim == 4 and labels.shape[-1] == 1:
+        labels = labels[..., 0]
+    if target_hw is None:
+        target_hw = (labels.shape[1], labels.shape[2])
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    labels = labels.astype(jnp.int32)
+    loss_sum, weight_sum = _fused_sums(
+        src_logits, labels, tuple(target_hw), int(ignore_label), bool(interpret)
+    )
+    return loss_sum / jnp.maximum(weight_sum, 1.0)
+
+
+def upsample_cross_entropy_reference(src_logits, labels, target_hw=None,
+                                     ignore_label: int = 255):
+    """Unfused XLA fallback with identical semantics (for testing/perf
+    comparison)."""
+    from iseg_tpu.losses.cross_entropy import cross_entropy_ignore_label
+    from iseg_tpu.ops.resize import resize_image
+
+    if labels.ndim == 4 and labels.shape[-1] == 1:
+        labels = labels[..., 0]
+    if target_hw is None:
+        target_hw = (labels.shape[1], labels.shape[2])
+    up = resize_image(src_logits.astype(jnp.float32), target_hw, "bilinear")
+    return cross_entropy_ignore_label(up, labels, ignore_label=ignore_label)
