@@ -8,9 +8,14 @@ Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md); TF_BASELINE_IMG_PER_SEC is
 a provisional estimate for Keras/TF2 ResNet-50+ASPP @512^2 bf16 on one
 TPU v5e chip, to be replaced by a measured number when one is available.
+
+Extra configs (each prints its own JSON line, for local use):
+  BENCH_MODE=sliding   HRNet-style sliding-window eval p50 latency
+  BENCH_MODE=fused     headline config with the fused upsample+CE kernel
 """
 
 import json
+import os
 import time
 
 import jax
@@ -18,14 +23,61 @@ import jax.numpy as jnp
 import numpy as np
 
 TF_BASELINE_IMG_PER_SEC = 100.0  # provisional TF2/Keras estimate, v5e chip
+TF_BASELINE_SLIDING_P50_S = 2.0  # provisional TF sliding-window eval estimate
+
+
+def bench_sliding():
+    """Sliding-window eval p50: ResNet-50+ASPP over 1024x2048 (Cityscapes
+    geometry), 512^2 windows, stride 2/3 (BASELINE.json config #3)."""
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.core.inference import inference_with_sliding_window
+    from iseg_tpu.core.model import SegManaged
+    from iseg_tpu.nn.heads import ASPP
+
+    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    hw = (1024, 2048) if jax.devices()[0].platform == "tpu" else (96, 128)
+    win = (512, 512) if jax.devices()[0].platform == "tpu" else (64, 64)
+
+    model = SegManaged(
+        num_class=19,
+        backbone=get_backbone("resnet50", output_stride=16, dtype=dtype),
+        head=ASPP(filters=256, dtype=dtype),
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, win[0], win[1], 3), dtype))
+
+    @jax.jit
+    def eval_step(images):
+        return inference_with_sliding_window(
+            lambda x: model.apply(variables, x, train=False), images, win
+        )
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, hw[0], hw[1], 3), dtype)
+    _ = float(jnp.sum(eval_step(x)))  # compile + warm
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(eval_step(x)))
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": "resnet50_aspp_sliding_window_1024x2048_eval",
+        "value": round(p50, 4),
+        "unit": "p50_seconds",
+        "vs_baseline": round(TF_BASELINE_SLIDING_P50_S / p50, 3),
+    }))
 
 
 def main():
+    mode = os.environ.get("BENCH_MODE", "train")
     jax.config.update(
         "jax_compilation_cache_dir",
         __import__("os").path.expanduser("~/.cache/iseg_tpu_xla"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if mode == "sliding":
+        return bench_sliding()
 
     from iseg_tpu.backbones import get_backbone
     from iseg_tpu.core.model import SegManaged
@@ -41,10 +93,13 @@ def main():
         batch, hw, steps, warmup = 2, 128, 3, 1
         dtype = jnp.float32
 
+    fused = mode == "fused"
     model = SegManaged(
         num_class=21,
         backbone=get_backbone("resnet50", output_stride=16, dtype=dtype),
         head=ASPP(filters=256, dtype=dtype),
+        upsample_logits=not fused,
+        fuse_upsample_loss=fused,
     )
 
     rng = jax.random.PRNGKey(0)
@@ -59,18 +114,20 @@ def main():
     y = np.random.RandomState(1).randint(0, 21, (batch, hw, hw)).astype(np.int32)
     data = {"image": jnp.asarray(x, dtype), "label": jnp.asarray(y)}
 
-    # NOTE: block on `parts` (fresh buffers), not just donated state arrays —
-    # block_until_ready on donation-aliased buffers can return early on some
-    # PJRT backends, inflating throughput ~10x.
+    # NOTE: sync by reading a scalar to host — block_until_ready has been
+    # observed to return early on some experimental PJRT backends, inflating
+    # throughput ~10x. A host read of the final loss cannot lie: the step
+    # chain serializes through the state.
     for _ in range(warmup):
         state, parts = step_fn(state, data, rng)
-    jax.block_until_ready((state.params, parts))
+    _ = float(parts["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, parts = step_fn(state, data, rng)
-    jax.block_until_ready((state.params, parts))
+    final_loss = float(parts["loss"])
     dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "loss is NaN"
 
     n_chips = jax.device_count()
     img_per_sec_per_chip = batch * steps / dt / n_chips

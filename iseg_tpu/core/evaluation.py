@@ -41,6 +41,37 @@ def make_eval_step(
             out = out[0]
         return out
 
+    if cfg.use_cpu_cache:
+        # host-offload variant (reference ``core_model.py:274-320``
+        # ``use_cpu_cache``): one jitted program per (scale, flip), logit
+        # accumulation in host memory — for images whose multi-scale logit
+        # stack exceeds HBM.
+        from iseg_tpu.core.inference import inference_with_scale
+        import numpy as np
+
+        jitted = {}
+
+        def eval_step(images):
+            acc = None
+            count = 0
+            for scale in cfg.scale_rates:
+                for flipped in ((False, True) if cfg.flip else (False,)):
+                    key = (scale, flipped, images.shape)
+                    if key not in jitted:
+                        jitted[key] = jax.jit(
+                            lambda x, s=scale, f=flipped: inference_with_scale(
+                                single, x, s, flipped=f,
+                                sliding_window_crop_size=cfg.sliding_window_crop_size,
+                                sliding_window_stride_rate=cfg.sliding_window_stride_rate,
+                            )
+                        )
+                    logits = np.asarray(jitted[key](images))
+                    acc = logits if acc is None else acc + logits
+                    count += 1
+            return acc / count
+
+        return eval_step
+
     @jax.jit
     def eval_step(images):
         return inference_with_multi_scales(

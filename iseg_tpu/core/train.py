@@ -118,6 +118,7 @@ class CoreTrain:
         checkpoint_manager=None,
         log_every: int = 50,
         callbacks: Optional[list] = None,
+        inputs_process: Optional[Callable] = None,
     ):
         self.env = env
         self.model = model
@@ -128,6 +129,8 @@ class CoreTrain:
         self.checkpoint_manager = checkpoint_manager
         self.log_every = log_every
         self.callbacks = list(callbacks or [])
+        # per-model batch hook (reference ``core_train.py:198-205``)
+        self.inputs_process = inputs_process
 
     def restore(self):
         """Resume from the latest checkpoint if one exists
@@ -146,7 +149,16 @@ class CoreTrain:
         initial_epoch: int = 0,
         on_epoch_end: Optional[Callable] = None,
     ):
-        """Run the epoch loop (reference ``core_train.py:74-152``)."""
+        """Run the epoch loop (reference ``core_train.py:74-152``).
+
+        ``initial_epoch=-1`` derives the resume epoch from the restored step
+        count (reference ``core_train.py:107-116``); requires
+        ``steps_per_epoch``."""
+        if initial_epoch == -1:
+            if not steps_per_epoch:
+                raise ValueError("initial_epoch=-1 requires steps_per_epoch")
+            initial_epoch = int(self.state.step) // steps_per_epoch
+
         history = []
         for epoch in range(initial_epoch, epochs):
             for cb in self.callbacks:
@@ -155,6 +167,8 @@ class CoreTrain:
             step_in_epoch = 0
             last_parts = {}
             for batch in dataset_fn(epoch):
+                if self.inputs_process is not None:
+                    batch = self.inputs_process(batch)
                 batch = shard_batch(self.env.mesh, batch)
                 self.state, parts = self.train_step(self.state, batch, self.rng)
                 last_parts = parts

@@ -71,13 +71,16 @@ def cross_entropy_ignore_label(
     mask = valid_mask(labels, ignore_label)
     safe_labels = jnp.where(mask > 0, labels, 0).astype(jnp.int32)
 
-    # HBM-lean formulation: gather the true-class log-prob instead of
-    # materializing a one-hot [N,H,W,C] tensor (the one-hot form costs an
-    # extra full-logits-sized fp32 buffer; at 512^2 batch-16 that's ~0.9 GB
-    # of pure traffic). Equivalent math, XLA fuses the gather into the
-    # softmax reduction.
+    # True-class log-prob via a one-hot comparison reduce, NOT a gather:
+    # per-element take_along_axis lowers to TPU gather and measures ~2x
+    # slower end-to-end at 512^2; the (labels == iota) * log_probs form is
+    # elementwise + reduce, which XLA fuses without materializing a one-hot
+    # buffer.
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    true_lp = jnp.take_along_axis(log_probs, safe_labels[..., None], axis=-1)[..., 0]
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, log_probs.shape,
+                                         log_probs.ndim - 1)
+    sel = class_ids == safe_labels[..., None]
+    true_lp = jnp.sum(jnp.where(sel, log_probs, 0.0), axis=-1)
 
     if label_smoothing > 0.0:
         # smoothed CE = (1-s)*CE_true + s * mean-over-classes CE
@@ -96,7 +99,8 @@ def cross_entropy_ignore_label(
 
     if class_weights is not None:
         w = jnp.asarray(class_weights, jnp.float32)
-        pixel_weights = jnp.take(w, safe_labels, axis=0)
+        # same comparison-reduce trick as true_lp (gathers are slow on TPU)
+        pixel_weights = jnp.sum(jnp.where(sel, w, 0.0), axis=-1)
         pixel_loss = pixel_loss * pixel_weights
         weight_map = pixel_weights * mask
     else:

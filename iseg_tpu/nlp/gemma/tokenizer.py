@@ -1,0 +1,123 @@
+"""Gemma SentencePiece tokenizer + causal-LM preprocessor.
+
+Parity with the reference ``nlp/gemma/gemma_tokenizer.py:23`` (SentencePiece
+proto-based tokenizer) and ``gemma_causal_lm_preprocessor.py:28`` (prompt
+packing with start/end tokens + padding masks).
+
+This environment ships neither ``sentencepiece`` nor tokenizer model files,
+so the backend is resolved lazily: ``sentencepiece`` if importable, else a
+``transformers`` tokenizer, else a clear error. The preprocessor logic is
+backend-independent and tested with a stub vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class GemmaTokenizer:
+    """Lazy-backend SentencePiece tokenizer."""
+
+    START_TOKEN = "<bos>"
+    END_TOKEN = "<eos>"
+    PAD_TOKEN = "<pad>"
+
+    def __init__(self, proto_path: Optional[str] = None, backend=None):
+        self._backend = backend
+        if backend is None and proto_path is not None:
+            self._backend = _load_backend(proto_path)
+
+    def tokenize(self, text: str) -> list[int]:
+        return self._require_backend().encode(text)
+
+    def detokenize(self, ids: Sequence[int]) -> str:
+        return self._require_backend().decode(list(ids))
+
+    @property
+    def pad_id(self) -> int:
+        return getattr(self._require_backend(), "pad_id", lambda: 0)()
+
+    @property
+    def bos_id(self) -> int:
+        return getattr(self._require_backend(), "bos_id", lambda: 2)()
+
+    @property
+    def eos_id(self) -> int:
+        return getattr(self._require_backend(), "eos_id", lambda: 1)()
+
+    def _require_backend(self):
+        if self._backend is None:
+            raise RuntimeError(
+                "GemmaTokenizer needs a SentencePiece model: pass proto_path "
+                "(requires `sentencepiece` or `transformers` to be installed) "
+                "or a custom backend object with encode/decode."
+            )
+        return self._backend
+
+
+def _load_backend(proto_path: str):
+    try:
+        import sentencepiece as spm
+
+        sp = spm.SentencePieceProcessor()
+        sp.Load(proto_path)
+        return sp
+    except ImportError:
+        pass
+    try:
+        from transformers import GemmaTokenizer as HFGemmaTokenizer
+
+        hf = HFGemmaTokenizer(vocab_file=proto_path)
+
+        class _HFAdapter:
+            def encode(self, text):
+                return hf.encode(text, add_special_tokens=False)
+
+            def decode(self, ids):
+                return hf.decode(ids)
+
+            def pad_id(self):
+                return hf.pad_token_id or 0
+
+            def bos_id(self):
+                return hf.bos_token_id
+
+            def eos_id(self):
+                return hf.eos_token_id
+
+        return _HFAdapter()
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "neither sentencepiece nor transformers is available"
+        ) from e
+
+
+class GemmaCausalLMPreprocessor:
+    """Pack prompts into fixed-length id/padding arrays
+    (reference ``gemma_causal_lm_preprocessor.py:28``)."""
+
+    def __init__(self, tokenizer: GemmaTokenizer, sequence_length: int = 512,
+                 add_start_token: bool = True, add_end_token: bool = True):
+        self.tokenizer = tokenizer
+        self.sequence_length = sequence_length
+        self.add_start_token = add_start_token
+        self.add_end_token = add_end_token
+
+    def __call__(self, texts: Sequence[str], for_generation: bool = False):
+        """Returns (token_ids [B, L], lengths [B]). For generation the end
+        token is omitted."""
+        ids_list = []
+        lengths = []
+        pad = self.tokenizer.pad_id
+        for t in texts:
+            ids = self.tokenizer.tokenize(t)
+            if self.add_start_token:
+                ids = [self.tokenizer.bos_id] + ids
+            if self.add_end_token and not for_generation:
+                ids = ids + [self.tokenizer.eos_id]
+            ids = ids[: self.sequence_length]
+            lengths.append(len(ids))
+            ids_list.append(ids + [pad] * (self.sequence_length - len(ids)))
+        return (np.asarray(ids_list, np.int32), np.asarray(lengths, np.int32))

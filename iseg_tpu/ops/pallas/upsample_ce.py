@@ -134,7 +134,7 @@ def _run_fwd(src, labels, rh, rw, th, ignore_label, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, ww), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, h), lambda i, j: (j, 0),
