@@ -122,9 +122,12 @@ _V1 = {
     "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
     "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
     "convnext_xlarge": ((3, 3, 27, 3), (256, 512, 1024, 2048)),
+    # reference vocabulary includes XXL (static_strings CONVNEXT_XXLARGE)
+    "convnext_xxlarge": ((3, 4, 30, 3), (384, 768, 1536, 3072)),
 }
 _V2 = {
     "convnext_v2_atto": ((2, 2, 6, 2), (40, 80, 160, 320)),
+    "convnext_v2_nano": ((2, 2, 8, 2), (80, 160, 320, 640)),
     "convnext_v2_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
     "convnext_v2_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
     "convnext_v2_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),

@@ -252,6 +252,8 @@ _VARIANTS = {
     "swin_large": (192, (2, 2, 18, 2), (6, 12, 24, 48), 7),
     "swin_base_384": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
     "swin_large_384": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+    # reference vocabulary alias (static_strings SWIN_TINY_224)
+    "swin_tiny_224": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
 }
 
 

@@ -148,12 +148,26 @@ class SegManaged(SegFoundation):
     head: Optional[nn.Module] = None
     use_aux_head_endpoints: bool = False  # feed backbone endpoints to aux convs
     upsample_logits: bool = True
+    # input routing (reference core_model_ext.py:266-334): heads may also
+    # receive the label map and/or the raw image alongside the endpoints
+    head_use_label_input: bool = False
+    head_use_image_input: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # dict/tuple input routing: {"image": ..., "label": ...} or
+        # (image, label) — label-as-input models consume it in the head
+        label = None
+        if isinstance(x, dict):
+            label = x.get("label")
+            x = x["image"]
+        elif isinstance(x, (tuple, list)):
+            x, label = x[0], (x[1] if len(x) > 1 else None)
+
         inputs_hw = (x.shape[1], x.shape[2])
+        image = x
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
@@ -161,7 +175,12 @@ class SegManaged(SegFoundation):
         endpoints = feats if isinstance(feats, (list, tuple)) else [feats]
 
         if self.head is not None:
-            head_out = self.head(endpoints, train=train)
+            head_kwargs = {}
+            if self.head_use_label_input:
+                head_kwargs["label"] = label
+            if self.head_use_image_input:
+                head_kwargs["image"] = image
+            head_out = self.head(endpoints, train=train, **head_kwargs)
         else:
             head_out = endpoints[-1]
         head_outs = list(head_out) if isinstance(head_out, (list, tuple)) else [head_out]

@@ -78,8 +78,8 @@ def _fwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, loss_ref, weight_ref,
     valid = (labels != ignore_label).astype(jnp.float32)
     ce = (lse - true_logit) * valid
 
-    loss_ref[0, 0] = jnp.sum(ce)
-    weight_ref[0, 0] = jnp.sum(valid)
+    loss_ref[0, 0, 0, 0] = jnp.sum(ce)
+    weight_ref[0, 0, 0, 0] = jnp.sum(valid)
 
 
 def _bwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, g_ref, dsrc_ref,
@@ -89,7 +89,7 @@ def _bwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, g_ref, dsrc_ref,
     labels = labels_ref[0]
     rh = rh_ref[:]
     rw = rw_ref[:]
-    g = g_ref[0]
+    g = g_ref[0, 0, 0]
 
     h, w, c = src.shape
     a = jnp.dot(rh, src.reshape(h, w * c),
@@ -142,13 +142,18 @@ def _run_fwd(src, labels, rh, rw, th, ignore_label, interpret):
             pl.BlockSpec((ww, w), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # (1,1,1,1) blocks: the Mosaic lowering requires the last two block
+        # dims to be divisible by (8, 128) OR equal the array dims — trailing
+        # singleton array dims satisfy the "equal" case.
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, hh // th), jnp.float32),
-            jax.ShapeDtypeStruct((n, hh // th), jnp.float32),
+            jax.ShapeDtypeStruct((n, hh // th, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, hh // th, 1, 1), jnp.float32),
         ],
         interpret=interpret,
     )(src, labels, rh, rw)
@@ -161,7 +166,7 @@ def _run_bwd(src, labels, rh, rw, g, th, ignore_label, interpret):
     grid = (n, hh // th)
     kernel = functools.partial(_bwd_kernel, ignore_label=ignore_label,
                                num_classes=c)
-    g_arr = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (n,))
+    g_arr = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (n, 1, 1))
     dsrc = pl.pallas_call(
         kernel,
         grid=grid,
@@ -172,7 +177,8 @@ def _run_bwd(src, labels, rh, rw, g, th, ignore_label, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, h), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ww, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
