@@ -115,6 +115,66 @@ class MultiHeadAxialAttention2D(nn.Module):
         return x
 
 
+class DeformableMultiHeadAttention2D(nn.Module):
+    """Deformable-DETR-style sampled attention
+    (reference ``layers/deformable_multihead_self_attention.py:13``:
+    offset grids :89, bilinear gather :102-175, XLA path :247).
+
+    Each query predicts ``num_points`` sampling locations + softmax weights
+    per head; values are bilinearly sampled there and weight-summed — O(HW *
+    heads * points) instead of O((HW)^2). Sampling reuses the DCN gather
+    core (one batched im2col-style gather -> MXU-friendly reductions)."""
+
+    num_heads: int = 8
+    num_points: int = 4
+    filters: Optional[int] = None
+    offset_scale: float = 1.0
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from iseg_tpu.ops.deform import bilinear_gather
+
+        n, h, w, c = x.shape
+        inner = self.filters or c
+        g, p = self.num_heads, self.num_points
+        head_dim = inner // g
+
+        value = nn.Dense(inner, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="value")(x)
+        offsets = nn.Dense(g * p * 2, kernel_init=nn.initializers.zeros_init(),
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="offsets")(x)
+        weights = nn.Dense(g * p, kernel_init=nn.initializers.zeros_init(),
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="weights")(x)
+        weights = jax.nn.softmax(
+            weights.reshape(n, h, w, g, p).astype(jnp.float32), axis=-1
+        ).astype(value.dtype)
+        offsets = offsets.reshape(n, h, w, g, p, 2).astype(jnp.float32)
+        offsets = offsets * self.offset_scale
+
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        base = jnp.stack([gy, gx], -1)[None, :, :, None, None, :]  # [1,H,W,1,1,2]
+        coords = base + offsets  # [N,H,W,g,p,2]
+
+        vg = value.reshape(n, h, w, g, head_dim)
+        outs = []
+        for gi in range(g):
+            sampled = bilinear_gather(
+                vg[:, :, :, gi], coords[:, :, :, gi].reshape(n, h * w * p, 2)
+            ).reshape(n, h, w, p, head_dim)
+            outs.append(jnp.einsum("nhwpd,nhwp->nhwd", sampled,
+                                   weights[:, :, :, gi]))
+        out = jnp.concatenate(outs, axis=-1)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj")(out)
+        return x + out
+
+
 class SelfAttention2D(nn.Module):
     """Single-head non-local self-attention with 1x1 conv projections
     (reference ``self_attention.py:15``)."""
