@@ -104,6 +104,10 @@ class ResNet(nn.Module):
     output_stride: int = 32
     multi_grid: Optional[Sequence[int]] = None  # e.g. (1, 2, 4)
     deep_stem: bool = False  # 7x7 -> 3x 3x3 (reference :245)
+    # slim/TF-slim stack style (reference ``Stack2`` :94,
+    # ``slim_behaviour``): the stage's downsampling stride sits on the LAST
+    # block, and endpoints tap the pre-stride activation
+    slim_stack: bool = False
     stem_filters: int = 64
     return_endpoints: bool = True
     norm: str = "sync_batch_norm"
@@ -135,6 +139,41 @@ class ResNet(nn.Module):
         current_stride = 4
         dilation = 1
         stage_filters = (64, 128, 256, 512)
+
+        if self.slim_stack:
+            # stride-last stacks (reference Stack2 :94): block n of each
+            # non-final stage downsamples; endpoints tap pre-stride features
+            num_stages = len(self.depths)
+            for stage_idx, (depth, filters) in enumerate(
+                zip(self.depths, stage_filters)
+            ):
+                is_last_stage = stage_idx == num_stages - 1
+                grid = (
+                    list(self.multi_grid)
+                    if (is_last_stage and self.multi_grid and dilation > 1)
+                    else [1] * depth
+                )
+                for i in range(depth):
+                    rate = dilation * grid[i % len(grid)]
+                    wants_stride = i == depth - 1 and not is_last_stage
+                    if wants_stride:
+                        endpoints.append(x)
+                        if current_stride >= self.output_stride:
+                            stride = 1
+                            dilation *= 2  # applies to later stages
+                        else:
+                            stride = 2
+                            current_stride *= 2
+                    else:
+                        stride = 1
+                    x = block_cls(
+                        filters=filters, stride=stride, dilation=rate,
+                        name=f"stage{stage_idx}_block{i}", **common,
+                    )(x, train=train)
+            endpoints.append(x)
+            if self.return_endpoints:
+                return endpoints
+            return x
 
         for stage_idx, (depth, filters) in enumerate(zip(self.depths, stage_filters)):
             stage_stride = 1 if stage_idx == 0 else 2
