@@ -33,13 +33,16 @@ def make_eval_step(
     """
     cfg = inference_config or SegModelInferenceConfig()
 
-    def single(x):
-        out = apply_fn(variables, x, train=False)
+    def single_with(vars_, x):
+        out = apply_fn(vars_, x, train=False)
         if isinstance(out, dict):
             out = out["output_0"]
         if isinstance(out, (list, tuple)):
             out = out[0]
         return out
+
+    def single(x):
+        return single_with(variables, x)
 
     if cfg.use_cpu_cache:
         # host-offload variant (reference ``core_model.py:274-320``
@@ -59,29 +62,34 @@ def make_eval_step(
                     key = (scale, flipped, images.shape)
                     if key not in jitted:
                         jitted[key] = jax.jit(
-                            lambda x, s=scale, f=flipped: inference_with_scale(
-                                single, x, s, flipped=f,
+                            lambda v, x, s=scale, f=flipped: inference_with_scale(
+                                lambda y: single_with(v, y), x, s, flipped=f,
                                 sliding_window_crop_size=cfg.sliding_window_crop_size,
                                 sliding_window_stride_rate=cfg.sliding_window_stride_rate,
                             )
                         )
-                    logits = np.asarray(jitted[key](images))
+                    logits = np.asarray(jitted[key](variables, images))
                     acc = logits if acc is None else acc + logits
                     count += 1
             return acc / count
 
         return eval_step
 
+    # variables enter as a jit ARGUMENT (a closure would bake the weights
+    # into the executable as constants — slow compiles for big models)
     @jax.jit
-    def eval_step(images):
+    def _eval_jit(vars_, images):
         return inference_with_multi_scales(
-            single,
+            lambda x: single_with(vars_, x),
             images,
             scale_rates=tuple(cfg.scale_rates),
             flip=cfg.flip,
             sliding_window_crop_size=cfg.sliding_window_crop_size,
             sliding_window_stride_rate=cfg.sliding_window_stride_rate,
         )
+
+    def eval_step(images):
+        return _eval_jit(variables, images)
 
     return eval_step
 

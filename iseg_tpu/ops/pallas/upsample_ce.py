@@ -142,14 +142,14 @@ def _run_fwd(src, labels, rh, rw, th, ignore_label, interpret):
             pl.BlockSpec((ww, w), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # (1,1,1,1) blocks: the Mosaic lowering requires the last two block
-        # dims to be divisible by (8, 128) OR equal the array dims — trailing
-        # singleton array dims satisfy the "equal" case.
+        # scalar outputs go to SMEM (Mosaic: "cannot store scalars to VMEM");
+        # the trailing singleton array dims satisfy the block-shape rule
+        # (last two block dims must divide (8,128) OR equal the array dims).
         out_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, hh // th, 1, 1), jnp.float32),
