@@ -47,17 +47,17 @@ def bench_sliding():
     variables = model.init(rng, jnp.zeros((1, win[0], win[1], 3), dtype))
 
     @jax.jit
-    def eval_step(images):
+    def _eval_jit(v, images):
         return inference_with_sliding_window(
-            lambda x: model.apply(variables, x, train=False), images, win
+            lambda x: model.apply(v, x, train=False), images, win
         )
 
     x = jnp.asarray(np.random.RandomState(0).rand(1, hw[0], hw[1], 3), dtype)
-    _ = float(jnp.sum(eval_step(x)))  # compile + warm
+    _ = float(jnp.sum(_eval_jit(variables, x)))  # compile + warm
     times = []
     for _ in range(7):
         t0 = time.perf_counter()
-        _ = float(jnp.sum(eval_step(x)))
+        _ = float(jnp.sum(_eval_jit(variables, x)))
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
     print(json.dumps({

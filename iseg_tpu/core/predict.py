@@ -92,9 +92,11 @@ def predict_with_dir(
     bucket_w = _round_up(max(s[1] for s in sizes), pad_multiple)
     mean_pixel = get_mean_pixel(norm)
 
-    predict_jit = jax.jit(
-        lambda x: default_image_predict(model.apply, variables, x, inference_config)
+    # weights as a jit argument, not a baked-in closure constant
+    _predict_jit = jax.jit(
+        lambda v, x: default_image_predict(model.apply, v, x, inference_config)
     )
+    predict_jit = lambda x: _predict_jit(variables, x)
 
     written = []
     for start in range(0, len(paths), batch_size):
