@@ -3,16 +3,17 @@
 The hot tail of segmentation training (reference semantics: logits are
 bilinearly upsampled to input size, ``layers/core_model_ext.py:199-226``,
 then fed to masked CE, ``losses/catecrossentropy_ignore_label.py``) costs
-two full-resolution [N, H, W, C] materializations (upsampled logits +
-softmax grads) — ~1 GB of HBM traffic per step at 512^2 batch 16.
+full-resolution [N, H, W, C] materializations — ~1 GB of HBM traffic per
+step at 512^2 batch 16.
 
-This kernel computes the loss straight from the output-stride logits:
-per output row-tile, the bilinear interpolation is two small matmuls
-against host-precomputed interp matrices (MXU), followed by an fp32
-log-softmax + label gather + ignore-mask reduction in VMEM. The backward
-kernel accumulates d(loss)/d(src logits) tile by tile into a VMEM-resident
-[h, w, C] block (the TPU grid runs sequentially, so revisiting the same
-output block is race-free). Full-res logits never touch HBM.
+This kernel computes the loss straight from the output-stride logits.
+Mosaic-native design: logits are laid out class-major ([N, C, h, w]) so the
+bilinear interpolation decomposes into per-class 2-D matmuls against
+host-precomputed interp matrices (``R_h @ src_c @ R_w^T``) — no
+vector reshapes, everything the MXU understands. The per-pixel fp32
+log-softmax + label gather + ignore-mask reduction happen in VMEM; the
+backward kernel accumulates d(loss)/d(src) into a VMEM-resident block
+across the sequential TPU grid. Full-res logits never touch HBM.
 
 ``upsample_cross_entropy`` carries a custom VJP; interpret mode makes the
 same kernels testable on CPU.
@@ -52,28 +53,26 @@ def _pick_tile(h: int, target: int = 64) -> int:
     return 1
 
 
-def _fwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, loss_ref, weight_ref,
+def _interp_tile(src_cm, rh, rw_t, num_classes):
+    """Per-class 2-D matmuls: [C](TH,h)@(h,w)@(w,W) -> stacked (C, TH, W)."""
+    planes = []
+    for c in range(num_classes):
+        a = jnp.dot(rh, src_cm[c], preferred_element_type=jnp.float32)
+        planes.append(jnp.dot(a, rw_t, preferred_element_type=jnp.float32))
+    return jnp.stack(planes, axis=0)  # [C, TH, W]
+
+
+def _fwd_kernel(src_ref, labels_ref, rh_ref, rwt_ref, loss_ref, weight_ref,
                 *, ignore_label: int, num_classes: int):
-    src = src_ref[0].astype(jnp.float32)          # [h, w, C]
-    labels = labels_ref[0]                        # [TH, W]
-    rh = rh_ref[:]                                # [TH, h] (this tile's rows)
-    rw = rw_ref[:]                                # [W, w]
+    src = src_ref[0].astype(jnp.float32)   # [C, h, w]
+    labels = labels_ref[0]                 # [TH, W]
+    up = _interp_tile(src, rh_ref[:], rwt_ref[:], num_classes)  # [C, TH, W]
 
-    # interpolate: [TH, h] @ [h, w*C] -> [TH, w, C]; then along W
-    h, w, c = src.shape
-    a = jnp.dot(rh, src.reshape(h, w * c),
-                preferred_element_type=jnp.float32).reshape(-1, w, c)
-    # [W, w] @ [w, TH*C]: transpose a to [w, TH, C]
-    th = a.shape[0]
-    a_t = a.transpose(1, 0, 2).reshape(w, th * c)
-    up = jnp.dot(rw, a_t, preferred_element_type=jnp.float32)
-    up = up.reshape(-1, th, c).transpose(1, 0, 2)  # [TH, W, C]
-
-    m = jnp.max(up, axis=-1, keepdims=True)
-    lse = jnp.log(jnp.sum(jnp.exp(up - m), axis=-1)) + m[..., 0]
-    class_ids = jax.lax.broadcasted_iota(jnp.int32, up.shape, 2)
+    m = jnp.max(up, axis=0)                                  # [TH, W]
+    lse = jnp.log(jnp.sum(jnp.exp(up - m[None]), axis=0)) + m
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, up.shape, 0)
     true_logit = jnp.sum(
-        jnp.where(class_ids == labels[:, :, None], up, 0.0), axis=-1
+        jnp.where(class_ids == labels[None], up, 0.0), axis=0
     )
     valid = (labels != ignore_label).astype(jnp.float32)
     ce = (lse - true_logit) * valid
@@ -82,49 +81,40 @@ def _fwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, loss_ref, weight_ref,
     weight_ref[0, 0, 0, 0] = jnp.sum(valid)
 
 
-def _bwd_kernel(src_ref, labels_ref, rh_ref, rw_ref, g_ref, dsrc_ref,
+def _bwd_kernel(src_ref, labels_ref, rh_ref, rwt_ref, g_ref, dsrc_ref,
                 *, ignore_label: int, num_classes: int):
     t = pl.program_id(1)
     src = src_ref[0].astype(jnp.float32)
     labels = labels_ref[0]
     rh = rh_ref[:]
-    rw = rw_ref[:]
+    rw_t = rwt_ref[:]
     g = g_ref[0, 0, 0]
 
-    h, w, c = src.shape
-    a = jnp.dot(rh, src.reshape(h, w * c),
-                preferred_element_type=jnp.float32).reshape(-1, w, c)
-    th = a.shape[0]
-    a_t = a.transpose(1, 0, 2).reshape(w, th * c)
-    up = jnp.dot(rw, a_t, preferred_element_type=jnp.float32)
-    up = up.reshape(-1, th, c).transpose(1, 0, 2)
-
-    m = jnp.max(up, axis=-1, keepdims=True)
-    e = jnp.exp(up - m)
-    softmax = e / jnp.sum(e, axis=-1, keepdims=True)
-    class_ids = jax.lax.broadcasted_iota(jnp.int32, up.shape, 2)
-    one_hot = (class_ids == labels[:, :, None]).astype(jnp.float32)
+    up = _interp_tile(src, rh, rw_t, num_classes)  # [C, TH, W]
+    m = jnp.max(up, axis=0)
+    e = jnp.exp(up - m[None])
+    softmax = e / jnp.sum(e, axis=0)[None]
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, up.shape, 0)
+    one_hot = (class_ids == labels[None]).astype(jnp.float32)
     valid = (labels != ignore_label).astype(jnp.float32)
-    dup = (softmax - one_hot) * valid[:, :, None] * g  # [TH, W, C]
+    dup = (softmax - one_hot) * valid[None] * g  # [C, TH, W]
 
-    # transpose-interpolate back: dA = Rw^T @ dup ; dsrc_tile = Rh^T @ dA
-    dup_t = dup.transpose(1, 0, 2).reshape(-1, th * c)   # [W, TH*C]
-    da = jnp.dot(rw.T, dup_t, preferred_element_type=jnp.float32)
-    da = da.reshape(w, th, c).transpose(1, 0, 2)          # [TH, w, C]
-    dsrc_tile = jnp.dot(rh.T, da.reshape(th, w * c),
-                        preferred_element_type=jnp.float32).reshape(h, w, c)
+    # transpose-interpolate back per class: dsrc_c = rh^T @ dup_c @ rw
+    for c in range(num_classes):
+        da = jnp.dot(dup[c], rw_t.T, preferred_element_type=jnp.float32)  # [TH, w]
+        dsrc_c = jnp.dot(rh.T, da, preferred_element_type=jnp.float32)   # [h, w]
 
-    @pl.when(t == 0)
-    def _():
-        dsrc_ref[0] = dsrc_tile
+        @pl.when(t == 0)
+        def _():
+            dsrc_ref[0, c] = dsrc_c
 
-    @pl.when(t != 0)
-    def _():
-        dsrc_ref[0] = dsrc_ref[0] + dsrc_tile
+        @pl.when(t != 0)
+        def _():
+            dsrc_ref[0, c] = dsrc_ref[0, c] + dsrc_c
 
 
-def _run_fwd(src, labels, rh, rw, th, ignore_label, interpret):
-    n, h, w, c = src.shape
+def _run_fwd(src_cm, labels, rh, rw_t, th, ignore_label, interpret):
+    n, c, h, w = src_cm.shape
     hh, ww = labels.shape[1], labels.shape[2]
     grid = (n, hh // th)
     kernel = functools.partial(_fwd_kernel, ignore_label=ignore_label,
@@ -133,18 +123,17 @@ def _run_fwd(src, labels, rh, rw, th, ignore_label, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, ww), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, h), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ww, w), lambda i, j: (0, 0),
+            pl.BlockSpec((w, ww), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # scalar outputs go to SMEM (Mosaic: "cannot store scalars to VMEM");
-        # the trailing singleton array dims satisfy the block-shape rule
-        # (last two block dims must divide (8,128) OR equal the array dims).
+        # scalar outputs to SMEM; trailing singleton dims satisfy the
+        # last-two-dims block rule
         out_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -156,12 +145,12 @@ def _run_fwd(src, labels, rh, rw, th, ignore_label, interpret):
             jax.ShapeDtypeStruct((n, hh // th, 1, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(src, labels, rh, rw)
+    )(src_cm, labels, rh, rw_t)
     return jnp.sum(loss), jnp.sum(weight)
 
 
-def _run_bwd(src, labels, rh, rw, g, th, ignore_label, interpret):
-    n, h, w, c = src.shape
+def _run_bwd(src_cm, labels, rh, rw_t, g, th, ignore_label, interpret):
+    n, c, h, w = src_cm.shape
     hh, ww = labels.shape[1], labels.shape[2]
     grid = (n, hh // th)
     kernel = functools.partial(_bwd_kernel, ignore_label=ignore_label,
@@ -171,44 +160,44 @@ def _run_bwd(src, labels, rh, rw, g, th, ignore_label, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, ww), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, h), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ww, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, ww), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
         interpret=interpret,
-    )(src, labels, rh, rw, g_arr)
+    )(src_cm, labels, rh, rw_t, g_arr)
     return dsrc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_sums(src, labels, target_hw, ignore_label, interpret):
-    rh_full = jnp.asarray(_interp_matrix(target_hw[0], src.shape[1]))
-    rw = jnp.asarray(_interp_matrix(target_hw[1], src.shape[2]))
+def _fused_sums(src_cm, labels, target_hw, ignore_label, interpret):
+    rh = jnp.asarray(_interp_matrix(target_hw[0], src_cm.shape[2]))
+    rw_t = jnp.asarray(_interp_matrix(target_hw[1], src_cm.shape[3]).T)
     th = _pick_tile(target_hw[0])
-    return _run_fwd(src, labels, rh_full, rw, th, ignore_label, interpret)
+    return _run_fwd(src_cm, labels, rh, rw_t, th, ignore_label, interpret)
 
 
-def _fused_sums_fwd(src, labels, target_hw, ignore_label, interpret):
-    out = _fused_sums(src, labels, target_hw, ignore_label, interpret)
-    return out, (src, labels)
+def _fused_sums_fwd(src_cm, labels, target_hw, ignore_label, interpret):
+    out = _fused_sums(src_cm, labels, target_hw, ignore_label, interpret)
+    return out, (src_cm, labels)
 
 
 def _fused_sums_bwd(target_hw, ignore_label, interpret, res, g):
-    src, labels = res
+    src_cm, labels = res
     g_loss, _ = g
-    rh_full = jnp.asarray(_interp_matrix(target_hw[0], src.shape[1]))
-    rw = jnp.asarray(_interp_matrix(target_hw[1], src.shape[2]))
+    rh = jnp.asarray(_interp_matrix(target_hw[0], src_cm.shape[2]))
+    rw_t = jnp.asarray(_interp_matrix(target_hw[1], src_cm.shape[3]).T)
     th = _pick_tile(target_hw[0])
-    dsrc = _run_bwd(src, labels, rh_full, rw, g_loss, th, ignore_label, interpret)
-    return dsrc.astype(src.dtype), None
+    dsrc = _run_bwd(src_cm, labels, rh, rw_t, g_loss, th, ignore_label, interpret)
+    return dsrc.astype(src_cm.dtype), None
 
 
 _fused_sums.defvjp(_fused_sums_fwd, _fused_sums_bwd)
@@ -238,8 +227,11 @@ def upsample_cross_entropy(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     labels = labels.astype(jnp.int32)
+    # class-major layout for Mosaic-friendly 2-D matmuls (transpose is tiny:
+    # os-stride logits only)
+    src_cm = jnp.transpose(src_logits, (0, 3, 1, 2))
     loss_sum, weight_sum = _fused_sums(
-        src_logits, labels, tuple(target_hw), int(ignore_label), bool(interpret)
+        src_cm, labels, tuple(target_hw), int(ignore_label), bool(interpret)
     )
     return loss_sum / jnp.maximum(weight_sum, 1.0)
 
