@@ -119,6 +119,7 @@ class CoreTrain:
         log_every: int = 50,
         callbacks: Optional[list] = None,
         inputs_process: Optional[Callable] = None,
+        device_augment: Optional[Callable] = None,
     ):
         self.env = env
         self.model = model
@@ -131,6 +132,10 @@ class CoreTrain:
         self.callbacks = list(callbacks or [])
         # per-model batch hook (reference ``core_train.py:198-205``)
         self.inputs_process = inputs_process
+        # fused on-device augmentation (iseg_tpu.data.device_augment):
+        # fn(rng, images, labels) -> (images, labels); runs jitted on the
+        # sharded batch, feeding raw host images straight to the device
+        self.device_augment = device_augment
 
     def restore(self):
         """Resume from the latest checkpoint if one exists
@@ -170,6 +175,12 @@ class CoreTrain:
                 if self.inputs_process is not None:
                     batch = self.inputs_process(batch)
                 batch = shard_batch(self.env.mesh, batch)
+                if self.device_augment is not None:
+                    aug_rng = jax.random.fold_in(self.rng, int(self.state.step))
+                    image, label = self.device_augment(
+                        aug_rng, batch["image"], batch["label"]
+                    )
+                    batch = {"image": image, "label": label}
                 self.state, parts = self.train_step(self.state, batch, self.rng)
                 last_parts = parts
                 step_in_epoch += 1
