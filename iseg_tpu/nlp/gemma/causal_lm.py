@@ -72,6 +72,7 @@ class GemmaCausalLM:
         prompt_lengths: jax.Array,  # [B]
         max_length: int,
         temperature: float = 0.0,  # 0 = greedy
+        top_k: Optional[int] = None,  # restrict sampling to the k best
         rng: Optional[jax.Array] = None,
         end_token_id: Optional[int] = None,
     ) -> jax.Array:
@@ -101,7 +102,14 @@ class GemmaCausalLM:
         def sample(logits, key):
             if temperature == 0.0:
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return jax.random.categorical(key, logits / temperature).astype(jnp.int32)
+            logits = logits / temperature
+            if top_k is not None:
+                vals, idx = jax.lax.top_k(logits, top_k)
+                choice = jax.random.categorical(key, vals)
+                return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(
+                    jnp.int32
+                )
+            return jax.random.categorical(key, logits).astype(jnp.int32)
 
         done0 = jnp.zeros((b,), bool)
 
