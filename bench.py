@@ -93,7 +93,10 @@ def main():
         batch, hw, steps, warmup = 2, 128, 3, 1
         dtype = jnp.float32
 
-    fused = mode == "fused"
+    # default headline uses the fused upsample+CE kernel — the framework's
+    # recommended training config; numerics verified identical to the
+    # unfused path on hardware (BENCH_NOTES.md). BENCH_MODE=unfused opts out.
+    fused = mode != "unfused"
     model = SegManaged(
         num_class=21,
         backbone=get_backbone("resnet50", output_stride=16, dtype=dtype),
