@@ -201,23 +201,31 @@ class Eva(nn.Module):
 
 
 _VARIANTS = {
-    # name: (patch, dim, depth, heads)
-    "eva02_tiny": (14, 192, 12, 3),
-    "eva02_small": (14, 384, 12, 6),
-    "eva02_base": (14, 768, 12, 12),
-    "eva02_large": (14, 1024, 24, 16),
+    # name: (patch, dim, depth, heads, pretrain_grid)
+    "eva02_tiny": (14, 192, 12, 3, 24),
+    "eva02_small": (14, 384, 12, 6, 24),
+    "eva02_base": (14, 768, 12, 12, 16),
+    "eva02_large": (14, 1024, 24, 16, 16),
+    # reference vocabulary (static_strings EVA02_*): named by patch size and
+    # pretrain resolution
+    "eva02_tiny_patch14_336": (14, 192, 12, 3, 24),
+    "eva02_large_patch14_224": (14, 1024, 24, 16, 16),
+    "eva02_large_patch16_224": (16, 1024, 24, 16, 14),
+    "eva02_large_patch16_512_coco": (16, 1024, 24, 16, 32),
+    "eva02_large_patch16_512_mv": (16, 1024, 24, 16, 32),
 }
 
 
-def _make_ctor(name, patch, dim, depth, heads):
+def _make_ctor(name, patch, dim, depth, heads, grid):
     def ctor(output_stride=16, return_endpoints=True, **kwargs):
         del output_stride
         return Eva(patch_size=patch, dim=dim, depth=depth, num_heads=heads,
-                   return_endpoints=return_endpoints, **kwargs)
+                   pretrain_grid=grid, return_endpoints=return_endpoints,
+                   **kwargs)
 
     ctor.__name__ = name
     return ctor
 
 
-for _name, (_p, _dim, _depth, _heads) in _VARIANTS.items():
-    register_backbone(_name, _make_ctor(_name, _p, _dim, _depth, _heads))
+for _name, (_p, _dim, _depth, _heads, _grid) in _VARIANTS.items():
+    register_backbone(_name, _make_ctor(_name, _p, _dim, _depth, _heads, _grid))
