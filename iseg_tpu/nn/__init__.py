@@ -23,6 +23,15 @@ from iseg_tpu.nn.blocks import (
     scale_grads,
     adaptive_average_pooling_2d,
 )
+from iseg_tpu.nn.attention import (
+    MultiHeadSelfAttention2D,
+    MultiHeadAxialAttention2D,
+    DeformableMultiHeadAttention2D,
+    SelfAttention2D,
+)
+from iseg_tpu.nn.dcn import DCNv2, DCNv3
+from iseg_tpu.nn.hooks import HookPoint, get_taps
+from iseg_tpu.nn.common_layers import pixel_shuffle, pixel_unshuffle
 
 __all__ = [
     "normalization",
@@ -42,4 +51,14 @@ __all__ = [
     "GlobalResponseNorm",
     "scale_grads",
     "adaptive_average_pooling_2d",
+    "MultiHeadSelfAttention2D",
+    "MultiHeadAxialAttention2D",
+    "DeformableMultiHeadAttention2D",
+    "SelfAttention2D",
+    "DCNv2",
+    "DCNv3",
+    "HookPoint",
+    "get_taps",
+    "pixel_shuffle",
+    "pixel_unshuffle",
 ]
