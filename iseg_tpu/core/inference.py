@@ -89,6 +89,64 @@ def inference_with_sliding_window(
     return canvas / jnp.asarray(counts)[None]
 
 
+def inference_with_sliding_window_sharded(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    images: jax.Array,
+    crop_size: tuple[int, int],
+    mesh,
+    stride_rate: float = 2.0 / 3.0,
+    axis: str = "data",
+) -> jax.Array:
+    """Device-parallel sliding window: the window grid is sharded over the
+    mesh's ``axis`` so a single huge image's sweep scales with device count
+    (beyond the reference, which sweeps serially per replica). Windows are
+    padded to a device multiple with zero-weight sentinels; partial
+    canvases psum over ICI.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n, h, w, c = images.shape
+    starts, counts, (wh, ww) = sliding_window_plan((h, w), crop_size, stride_rate)
+    n_dev = mesh.shape[axis]
+
+    k = len(starts)
+    pad = (-k) % n_dev
+    starts_arr = np.concatenate(
+        [np.c_[starts, np.ones((k, 1), np.int32)],
+         np.zeros((pad, 3), np.int32)], axis=0
+    )  # [K', 3]: (y, x, weight)
+
+    out_shape = jax.eval_shape(
+        apply_fn, jax.ShapeDtypeStruct((n, wh, ww, c), images.dtype)
+    )
+    nc = out_shape.shape[-1]
+
+    def worker(images_rep, my_starts):
+        # my_starts: [K'/n_dev, 3]
+        canvas = jnp.zeros((n, h, w, nc), jnp.float32)
+
+        def body(canvas, s):
+            sy, sx, weight = s[0], s[1], s[2]
+            win = jax.lax.dynamic_slice(images_rep, (0, sy, sx, 0), (n, wh, ww, c))
+            logits = apply_fn(win).astype(jnp.float32) * weight.astype(jnp.float32)
+            cur = jax.lax.dynamic_slice(canvas, (0, sy, sx, 0), (n, wh, ww, nc))
+            return jax.lax.dynamic_update_slice(canvas, cur + logits,
+                                                (0, sy, sx, 0)), None
+
+        canvas, _ = jax.lax.scan(body, canvas, my_starts)
+        return jax.lax.psum(canvas, axis)
+
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    canvas = sharded(images, jnp.asarray(starts_arr))
+    return canvas / jnp.asarray(counts)[None]
+
+
 def inference_fn(
     apply_fn: Callable,
     images: jax.Array,
