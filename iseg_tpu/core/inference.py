@@ -103,8 +103,9 @@ def inference_with_sliding_window_sharded(
     padded to a device multiple with zero-weight sentinels; partial
     canvases psum over ICI.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     n, h, w, c = images.shape
     starts, counts, (wh, ww) = sliding_window_plan((h, w), crop_size, stride_rate)
@@ -141,7 +142,7 @@ def inference_with_sliding_window_sharded(
         worker, mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     canvas = sharded(images, jnp.asarray(starts_arr))
     return canvas / jnp.asarray(counts)[None]
