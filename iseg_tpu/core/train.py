@@ -136,6 +136,7 @@ class CoreTrain:
         # fn(rng, images, labels) -> (images, labels); runs jitted on the
         # sharded batch, feeding raw host images straight to the device
         self.device_augment = device_augment
+        self._host_step = 0
 
     def restore(self):
         """Resume from the latest checkpoint if one exists
@@ -176,12 +177,15 @@ class CoreTrain:
                     batch = self.inputs_process(batch)
                 batch = shard_batch(self.env.mesh, batch)
                 if self.device_augment is not None:
-                    aug_rng = jax.random.fold_in(self.rng, int(self.state.step))
+                    # host-side counter: reading state.step would force a
+                    # device sync every step
+                    aug_rng = jax.random.fold_in(self.rng, self._host_step)
                     image, label = self.device_augment(
                         aug_rng, batch["image"], batch["label"]
                     )
                     batch = {"image": image, "label": label}
                 self.state, parts = self.train_step(self.state, batch, self.rng)
+                self._host_step += 1
                 last_parts = parts
                 step_in_epoch += 1
                 if self.log_every and step_in_epoch % self.log_every == 0:
