@@ -103,27 +103,46 @@ def evaluate(
     ignore_label: Optional[int] = None,
     inference_config: Optional[SegModelInferenceConfig] = None,
     verbose: bool = True,
+    compute_loss: bool = False,
 ):
     """Run eval over ``dataset`` yielding {"image", "label"} host batches;
-    returns (mean_iou, per_class_iou) (reference ``evaluation.py:19-90``)."""
+    returns (mean_iou, per_class_iou) (reference ``evaluation.py:19-90``,
+    which also streams a running loss — enable with ``compute_loss``)."""
     num_class = num_class if num_class is not None else model.num_class
     ignore_label = ignore_label if ignore_label is not None else model.ignore_label
 
     eval_step = make_eval_step(model.apply, variables, inference_config)
     miou = MeanIoU(num_class, ignore_label)
 
+    loss_fn = None
+    if compute_loss:
+        from iseg_tpu.losses.cross_entropy import cross_entropy_ignore_label
+
+        loss_fn = jax.jit(
+            lambda lg, lb: cross_entropy_ignore_label(
+                lg, lb, ignore_label=ignore_label
+            )
+        )
+
     n_batches = 0
+    loss_sum = 0.0
     for batch in dataset:
         batch = shard_batch(env.mesh, batch)
         logits = eval_step(batch["image"])
         miou.update_state(batch["label"], logits)
+        if loss_fn is not None:
+            loss_sum += float(loss_fn(logits, batch["label"]))
         n_batches += 1
         if verbose and n_batches % 50 == 0:
-            print(f"eval batch {n_batches}: running mIoU={miou.result():.4f}", flush=True)
+            msg = f"eval batch {n_batches}: running mIoU={miou.result():.4f}"
+            if loss_fn is not None:
+                msg += f" loss={loss_sum / n_batches:.4f}"
+            print(msg, flush=True)
 
     per_class = miou.per_class_iou()
     if verbose:
-        print(f"eval done ({n_batches} batches): mIoU={miou.result():.4f}")
+        print(f"eval done ({n_batches} batches): mIoU={miou.result():.4f}"
+              + (f" loss={loss_sum / max(n_batches, 1):.4f}" if loss_fn else ""))
         for i, v in enumerate(per_class):
             print(f"  class {i}: IoU={v:.4f}")
     return miou.result(), per_class
