@@ -77,6 +77,16 @@ class SegFoundation(SegBase):
         """Main + aux loss weights (reference ``core_model.py:531``)."""
         return [1.0] + [self.aux_loss_rate] * self.num_aux_loss
 
+    def custom_metrics(self):
+        """Default metric set keyed ``output_N`` (reference
+        ``core_model.py:543`` via ``SegMetricBuilder``)."""
+        from iseg_tpu.metrics.builder import SegMetricBuilder
+
+        builder = SegMetricBuilder(self.num_class, self.ignore_label)
+        for _ in range(1 + self.num_aux_loss):
+            builder.add()
+        return builder
+
     def build_loss_fn(self) -> Callable:
         """One jit-able callable ``loss_fn(outputs, labels) -> (total, dict)``
         (reference ``custom_losses`` ``core_model.py:471-529``: dict keyed
