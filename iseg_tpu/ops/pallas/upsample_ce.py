@@ -227,6 +227,13 @@ def upsample_cross_entropy(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     labels = labels.astype(jnp.int32)
+    # the kernel unrolls a small matmul per class: fine for VOC/Cityscapes
+    # class counts, but compile time scales with C — fall back to the
+    # unfused XLA path for many-class datasets (ADE20K etc.)
+    if src_logits.shape[-1] > 64:
+        return upsample_cross_entropy_reference(
+            src_logits, labels, target_hw, ignore_label
+        )
     # class-major layout for Mosaic-friendly 2-D matmuls (transpose is tiny:
     # os-stride logits only)
     src_cm = jnp.transpose(src_logits, (0, 3, 1, 2))
