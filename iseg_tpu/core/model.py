@@ -115,22 +115,21 @@ class SegFoundation(SegBase):
                     loss = upsample_cross_entropy(
                         logits, labels, ignore_label=self.ignore_label
                     )
-                    parts[f"{key}_loss"] = loss
-                    total = total + weights[i] * loss if i < len(weights) else total + loss
-                    continue
-                loss = cross_entropy_ignore_label(
-                    logits,
-                    labels,
-                    num_classes=self.num_class,
-                    ignore_label=self.ignore_label,
-                    class_weights=self.class_weights,
-                    use_focal=self.use_focal_loss,
-                    focal_gamma=self.focal_loss_gamma,
-                    focal_alpha=self.focal_loss_alpha,
-                    ohem_fn=ohem_fn if i == 0 else None,
-                )
+                else:
+                    loss = cross_entropy_ignore_label(
+                        logits,
+                        labels,
+                        num_classes=self.num_class,
+                        ignore_label=self.ignore_label,
+                        class_weights=self.class_weights,
+                        use_focal=self.use_focal_loss,
+                        focal_gamma=self.focal_loss_gamma,
+                        focal_alpha=self.focal_loss_alpha,
+                        ohem_fn=ohem_fn if i == 0 else None,
+                    )
                 parts[f"{key}_loss"] = loss
-                total = total + weights[i] * loss if i < len(weights) else total + loss
+                rate = weights[i] if i < len(weights) else 1.0
+                total = total + rate * loss
             parts["loss"] = total
             return total, parts
 
