@@ -112,19 +112,23 @@ class VisionTransformer(nn.Module):
 
 
 _VARIANTS = {
-    # name: (patch, dim, depth, heads)
-    "vit_base_patch16": (16, 768, 12, 12),
-    "vit_large_patch16": (16, 1024, 24, 16),
-    "vit_base_patch16_sam": (16, 768, 12, 12),
-    "vit_large_patch16_sam": (16, 1024, 24, 16),
+    # name: (patch, dim, depth, heads, pretrain_grid) — grids match the
+    # reference constructors (pretrain_size 384 -> grid 24; SAM 1024 -> 64,
+    # no class token; reference ``backbones/vit.py:330-384``)
+    "vit_small_patch16": (16, 384, 12, 6, 24),
+    "vit_base_patch16": (16, 768, 12, 12, 24),
+    "vit_large_patch16": (16, 1024, 24, 16, 24),
+    "vit_base_patch16_sam": (16, 768, 12, 12, 64),
+    "vit_large_patch16_sam": (16, 1024, 24, 16, 64),
 }
 
 
-def _make_ctor(name, patch, dim, depth, heads):
+def _make_ctor(name, patch, dim, depth, heads, grid):
     def ctor(output_stride=16, return_endpoints=True, **kwargs):
         del output_stride  # ViT is os=patch_size natively
         return VisionTransformer(
             patch_size=patch, dim=dim, depth=depth, num_heads=heads,
+            pretrain_grid=grid,
             use_class_token="sam" not in name,
             return_endpoints=return_endpoints, **kwargs,
         )
@@ -133,5 +137,5 @@ def _make_ctor(name, patch, dim, depth, heads):
     return ctor
 
 
-for _name, (_p, _dim, _depth, _heads) in _VARIANTS.items():
-    register_backbone(_name, _make_ctor(_name, _p, _dim, _depth, _heads))
+for _name, (_p, _dim, _depth, _heads, _grid) in _VARIANTS.items():
+    register_backbone(_name, _make_ctor(_name, _p, _dim, _depth, _heads, _grid))
