@@ -63,6 +63,10 @@ class InternImage(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.2
     layer_scale: Optional[float] = None
+    # rematerialize blocks in backward (jax.checkpoint): the DCNv3 im2col
+    # taps ([N,H,W,K*K,C] per group) dominate activation memory; remat
+    # trades ~30% step time for fitting larger batches in HBM
+    remat: bool = False
     return_endpoints: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -83,6 +87,10 @@ class InternImage(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="stem_norm2")(x)
 
+        block_cls = InternImageBlock
+        if self.remat:
+            block_cls = nn.remat(InternImageBlock, static_argnums=(2,))
+
         total = sum(self.depths)
         block_idx = 0
         for stage_idx, (depth, g) in enumerate(zip(self.depths, self.groups)):
@@ -96,13 +104,13 @@ class InternImage(nn.Module):
                                  param_dtype=self.param_dtype,
                                  name=f"downsample_norm{stage_idx}")(x)
             for i in range(depth):
-                x = InternImageBlock(
+                x = block_cls(
                     dim=dim, groups=g, mlp_ratio=self.mlp_ratio,
                     drop_path=self.drop_path_rate * block_idx / max(1, total - 1),
                     layer_scale=self.layer_scale,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"stage{stage_idx}_block{i}",
-                )(x, train=train)
+                )(x, train)
                 block_idx += 1
 
         endpoints.append(x)
