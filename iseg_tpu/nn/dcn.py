@@ -125,15 +125,19 @@ class DCNv3(nn.Module):
             modul.reshape(n, ho, wo, g, kk).astype(jnp.float32), axis=-1
         ).astype(v.dtype)
 
-        vg = v.reshape(n, h, w, g, gc)
-        outs = []
-        for gi in range(g):
-            taps = deform_im2col(
-                vg[:, :, :, gi], offsets[:, :, :, gi],
-                kernel_size=k, stride=self.stride, dilation=self.dilation,
-            )  # [N, Ho, Wo, K*K, gc]
-            outs.append(jnp.einsum("nhwtc,nhwt->nhwc", taps, modul[:, :, :, gi]))
-        out = jnp.concatenate(outs, axis=-1)  # [N, Ho, Wo, filters]
+        # fold groups into the batch dim: ONE gather covers every group
+        # (a per-group python loop blows up the HLO and compile time on
+        # deep InternImage stacks)
+        vg = v.reshape(n, h, w, g, gc).transpose(0, 3, 1, 2, 4)
+        vg = vg.reshape(n * g, h, w, gc)
+        off_b = offsets.transpose(0, 3, 1, 2, 4, 5).reshape(n * g, ho, wo, kk, 2)
+        taps = deform_im2col(
+            vg, off_b, kernel_size=k, stride=self.stride, dilation=self.dilation,
+        )  # [N*G, Ho, Wo, K*K, gc]
+        mod_b = modul.transpose(0, 3, 1, 2, 4).reshape(n * g, ho, wo, kk)
+        out = jnp.einsum("bhwtc,bhwt->bhwc", taps, mod_b)
+        out = out.reshape(n, g, ho, wo, gc).transpose(0, 2, 3, 1, 4)
+        out = out.reshape(n, ho, wo, g * gc)  # [N, Ho, Wo, filters]
 
         return nn.Dense(self.filters, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="output_proj")(out)
