@@ -24,6 +24,7 @@ class InternImageBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     layer_scale: Optional[float] = None
+    dcn_sampling: str = "gather"
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -38,7 +39,8 @@ class InternImageBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="norm1")(x)
-        h = DCNv3(filters=self.dim, groups=self.groups, dtype=self.dtype,
+        h = DCNv3(filters=self.dim, groups=self.groups,
+                  sampling=self.dcn_sampling, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="dcn")(h, train=train)
         x = x + DropPath(self.drop_path, name="dp1")(
             maybe_scale(h, "gamma1"), deterministic=not train
@@ -67,6 +69,9 @@ class InternImage(nn.Module):
     # taps ([N,H,W,K*K,C] per group) dominate activation memory; remat
     # trades ~30% step time for fitting larger batches in HBM
     remat: bool = False
+    # "dense_local" swaps the XLA-gather sampling for the gather-free
+    # bounded-offset fast path (see nn.dcn.DCNv3.sampling)
+    dcn_sampling: str = "gather" 
     return_endpoints: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -108,6 +113,7 @@ class InternImage(nn.Module):
                     dim=dim, groups=g, mlp_ratio=self.mlp_ratio,
                     drop_path=self.drop_path_rate * block_idx / max(1, total - 1),
                     layer_scale=self.layer_scale,
+                    dcn_sampling=self.dcn_sampling,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"stage{stage_idx}_block{i}",
                 )(x, train)

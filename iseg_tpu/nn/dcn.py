@@ -84,6 +84,11 @@ class DCNv3(nn.Module):
     stride: int = 1
     dilation: int = 1
     offset_scale: float = 1.0
+    # "gather": exact, unbounded offsets (XLA gather — slow on TPU).
+    # "dense_local": gather-free fast path; offsets clamped to
+    # +-max_local_offset px (exact vs gather whenever offsets stay in range)
+    sampling: str = "gather"
+    max_local_offset: int = 2
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -125,17 +130,28 @@ class DCNv3(nn.Module):
             modul.reshape(n, ho, wo, g, kk).astype(jnp.float32), axis=-1
         ).astype(v.dtype)
 
-        # fold groups into the batch dim: ONE gather covers every group
+        # fold groups into the batch dim: ONE sampling op covers every group
         # (a per-group python loop blows up the HLO and compile time on
         # deep InternImage stacks)
         vg = v.reshape(n, h, w, g, gc).transpose(0, 3, 1, 2, 4)
         vg = vg.reshape(n * g, h, w, gc)
         off_b = offsets.transpose(0, 3, 1, 2, 4, 5).reshape(n * g, ho, wo, kk, 2)
-        taps = deform_im2col(
-            vg, off_b, kernel_size=k, stride=self.stride, dilation=self.dilation,
-        )  # [N*G, Ho, Wo, K*K, gc]
         mod_b = modul.transpose(0, 3, 1, 2, 4).reshape(n * g, ho, wo, kk)
-        out = jnp.einsum("bhwtc,bhwt->bhwc", taps, mod_b)
+
+        if (self.sampling == "dense_local" and self.stride == 1
+                and self.dilation == 1):
+            from iseg_tpu.ops.deform import deform_dense_local
+
+            out = deform_dense_local(
+                vg, off_b, mod_b, kernel_size=k,
+                max_offset=self.max_local_offset,
+            )  # [N*G, Ho, Wo, gc]
+        else:
+            taps = deform_im2col(
+                vg, off_b, kernel_size=k, stride=self.stride,
+                dilation=self.dilation,
+            )  # [N*G, Ho, Wo, K*K, gc]
+            out = jnp.einsum("bhwtc,bhwt->bhwc", taps, mod_b)
         out = out.reshape(n, g, ho, wo, gc).transpose(0, 2, 3, 1, 4)
         out = out.reshape(n, ho, wo, g * gc)  # [N, Ho, Wo, filters]
 

@@ -57,6 +57,74 @@ def bilinear_gather(x: jax.Array, coords: jax.Array) -> jax.Array:
     )
 
 
+def deform_dense_local(
+    x: jax.Array,
+    offsets: jax.Array,
+    modulation: jax.Array,
+    kernel_size: int = 3,
+    max_offset: int = 2,
+) -> jax.Array:
+    """Gather-free deformable sampling for bounded offsets (TPU fast path).
+
+    TPU gathers run ~100x slower than dense math (measured: one DCNv3 layer
+    276 ms vs ~2 ms for a same-size conv). With offsets clamped to
+    ``[-max_offset, max_offset]``, the modulated bilinear sample decomposes
+    exactly into a weighted sum over the fixed (K + 2*max_offset + ...)
+    neighborhood:
+
+        out[p] = sum_o w_o[p] * x[p + o],
+        w_o[p] = sum_k m_k[p] * tri(tap_k + d_k[p] - o)
+
+    where ``tri(t) = max(0, 1 - |t|)`` is the bilinear hat function and the
+    sum over integer displacements ``o`` runs a static double loop of
+    shifted arrays — pure VPU multiply-accumulates, no gather anywhere.
+    Exactly equal to the gather path whenever |offset| <= max_offset
+    (zero-padding boundary semantics match).
+
+    Args:
+      x: [B, H, W, C].
+      offsets: [B, H, W, K*K, 2] (dy, dx); clamped to +-max_offset.
+      modulation: [B, H, W, K*K] per-tap weights.
+    Returns [B, H, W, C]. Stride/dilation 1 only.
+    """
+    b, h, w, c = x.shape
+    k = kernel_size
+    kk = k * k
+    r = max_offset
+    half = (k - 1) // 2
+    lim = half + r + 1  # max reach of tap + clamped offset, +1 for bilinear
+
+    off = jnp.clip(offsets.astype(jnp.float32), -r, r)
+    tap = (jnp.arange(k, dtype=jnp.float32) - half)
+    tap_y = jnp.repeat(tap, k)   # [K*K]
+    tap_x = jnp.tile(tap, k)
+    # absolute fractional displacement per tap: [B, H, W, K*K]
+    dy = off[..., 0] + tap_y
+    dx = off[..., 1] + tap_x
+    m = modulation.astype(jnp.float32)
+
+    def shift(arr, oy, ox):
+        pads = [(0, 0), (max(oy, 0), max(-oy, 0)), (max(ox, 0), max(-ox, 0))]
+        if arr.ndim == 4:
+            pads = pads + [(0, 0)]
+        padded = jnp.pad(arr, pads)
+        ys = max(-oy, 0)
+        xs = max(-ox, 0)
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(padded, ys, ys + h, axis=1), xs, xs + w, axis=2
+        )
+
+    out = jnp.zeros((b, h, w, c), jnp.float32)
+    for oy in range(-lim, lim + 1):
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy))  # [B,H,W,KK]
+        for ox in range(-lim, lim + 1):
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox))
+            w_o = jnp.sum(m * ty * tx, axis=-1)  # [B,H,W]
+            # x[p + o] -> shift by -o
+            out = out + w_o[..., None] * shift(x, -oy, -ox).astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def deform_im2col(
     x: jax.Array,
     offsets: jax.Array,

@@ -1,0 +1,80 @@
+"""Gather-free dense-local deformable sampling: exact equivalence with the
+gather path for in-range offsets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iseg_tpu.ops.deform import deform_dense_local, deform_im2col
+
+
+def _ref_sample(x, offsets, modulation, k=3):
+    taps = deform_im2col(x, offsets, kernel_size=k)
+    return jnp.einsum("bhwtc,bhwt->bhwc", taps, modulation)
+
+
+def test_dense_local_matches_gather_in_range():
+    rng = np.random.RandomState(0)
+    b, h, w, c, kk = 2, 10, 12, 4, 9
+    x = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    # offsets within +-2 -> clamp inactive -> must match exactly
+    offsets = jnp.asarray(rng.uniform(-2, 2, (b, h, w, kk, 2)), jnp.float32)
+    modulation = jnp.asarray(rng.rand(b, h, w, kk), jnp.float32)
+
+    ref = _ref_sample(x, offsets, modulation)
+    fast = deform_dense_local(x, offsets, modulation, max_offset=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dense_local_zero_offsets_is_modulated_conv_sum():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 6, 6, 2), jnp.float32)
+    offsets = jnp.zeros((1, 6, 6, 9, 2))
+    modulation = jnp.asarray(rng.rand(1, 6, 6, 9), jnp.float32)
+    ref = _ref_sample(x, offsets, modulation)
+    fast = deform_dense_local(x, offsets, modulation)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dense_local_clamps_out_of_range():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 8, 8, 2), jnp.float32)
+    big = jnp.full((1, 8, 8, 9, 2), 5.0)  # beyond max_offset=2
+    modulation = jnp.ones((1, 8, 8, 9)) / 9.0
+    clamped_ref = _ref_sample(x, jnp.clip(big, -2, 2), modulation)
+    fast = deform_dense_local(x, big, modulation, max_offset=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(clamped_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dcnv3_dense_local_mode():
+    from iseg_tpu.nn.dcn import DCNv3
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 8, 8, 16), jnp.float32)
+    gather = DCNv3(filters=16, groups=4, sampling="gather")
+    fast = DCNv3(filters=16, groups=4, sampling="dense_local")
+    variables = gather.init(jax.random.PRNGKey(0), x)
+    # same params: zero-init offsets are in range -> identical outputs
+    a = gather.apply(variables, x)
+    b = fast.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients flow in dense_local mode
+    g = jax.grad(lambda p: jnp.sum(fast.apply({"params": p}, x) ** 2))(
+        variables["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+
+
+def test_intern_image_dense_local_runs():
+    from iseg_tpu.backbones import get_backbone
+
+    bb = get_backbone("intern_image_tiny", dcn_sampling="dense_local")
+    variables = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    eps = bb.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    assert eps[-1].shape == (1, 2, 2, 512)
+    assert np.isfinite(np.asarray(eps[-1])).all()
