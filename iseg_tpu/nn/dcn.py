@@ -29,6 +29,10 @@ class DCNv2(nn.Module):
     stride: int = 1
     dilation: int = 1
     use_bias: bool = True
+    # "gather" (exact, unbounded offsets) or "dense_local" (gather-free TPU
+    # fast path, offsets clamped to +-max_local_offset; see DCNv3.sampling)
+    sampling: str = "gather"
+    max_local_offset: int = 2
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -50,9 +54,18 @@ class DCNv2(nn.Module):
                                                   off_mask.shape[2], kk, 2)
         mask = nn.sigmoid(off_mask[..., 2 * kk :])  # [N, Ho, Wo, K*K]
 
-        taps = deform_im2col(
-            x, offsets, kernel_size=k, stride=self.stride, dilation=self.dilation
-        )  # [N, Ho, Wo, K*K, C]
+        if (self.sampling == "dense_local" and self.stride == 1
+                and self.dilation == 1):
+            from iseg_tpu.ops.deform import deform_dense_local_taps
+
+            taps = deform_dense_local_taps(
+                x, offsets, kernel_size=k, max_offset=self.max_local_offset
+            )
+        else:
+            taps = deform_im2col(
+                x, offsets, kernel_size=k, stride=self.stride,
+                dilation=self.dilation,
+            )  # [N, Ho, Wo, K*K, C]
         taps = taps * mask[..., None].astype(taps.dtype)
 
         kernel = self.param(

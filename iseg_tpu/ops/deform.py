@@ -125,6 +125,50 @@ def deform_dense_local(
     return out.astype(x.dtype)
 
 
+def deform_dense_local_taps(
+    x: jax.Array,
+    offsets: jax.Array,
+    kernel_size: int = 3,
+    max_offset: int = 2,
+) -> jax.Array:
+    """Gather-free variant of :func:`deform_im2col` for bounded offsets:
+    returns the per-tap samples [B, H, W, K*K, C] as sums of shifted dense
+    reads (for DCNv2-style per-tap weight matrices). Exact vs the gather
+    path whenever |offset| <= max_offset. Stride/dilation 1 only."""
+    b, h, w, c = x.shape
+    k = kernel_size
+    kk = k * k
+    r = max_offset
+    half = (k - 1) // 2
+    lim = half + r + 1
+
+    off = jnp.clip(offsets.astype(jnp.float32), -r, r)
+    tap = (jnp.arange(k, dtype=jnp.float32) - half)
+    tap_y = jnp.repeat(tap, k)
+    tap_x = jnp.tile(tap, k)
+    dy = off[..., 0] + tap_y  # [B,H,W,KK]
+    dx = off[..., 1] + tap_x
+
+    def shift(arr, oy, ox):
+        pads = [(0, 0), (max(oy, 0), max(-oy, 0)),
+                (max(ox, 0), max(-ox, 0)), (0, 0)]
+        padded = jnp.pad(arr, pads)
+        ys = max(-oy, 0)
+        xs = max(-ox, 0)
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(padded, ys, ys + h, axis=1), xs, xs + w, axis=2
+        )
+
+    out = jnp.zeros((b, h, w, kk, c), jnp.float32)
+    for oy in range(-lim, lim + 1):
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy))
+        for ox in range(-lim, lim + 1):
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox))
+            w_o = ty * tx  # [B,H,W,KK]
+            out = out + w_o[..., None] * shift(x, -oy, -ox)[:, :, :, None, :].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def deform_im2col(
     x: jax.Array,
     offsets: jax.Array,

@@ -78,3 +78,29 @@ def test_intern_image_dense_local_runs():
     eps = bb.apply(variables, jnp.zeros((1, 64, 64, 3)))
     assert eps[-1].shape == (1, 2, 2, 512)
     assert np.isfinite(np.asarray(eps[-1])).all()
+
+
+def test_dense_local_taps_match_gather():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 9, 11, 3), jnp.float32)
+    offsets = jnp.asarray(rng.uniform(-2, 2, (1, 9, 11, 9, 2)), jnp.float32)
+    from iseg_tpu.ops.deform import deform_dense_local_taps
+
+    ref = deform_im2col(x, offsets, kernel_size=3)
+    fast = deform_dense_local_taps(x, offsets, max_offset=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dcnv2_dense_local_mode():
+    from iseg_tpu.nn.dcn import DCNv2
+
+    x = jnp.asarray(np.random.RandomState(4).rand(1, 8, 8, 4), jnp.float32)
+    gather = DCNv2(filters=6, sampling="gather")
+    fast = DCNv2(filters=6, sampling="dense_local")
+    variables = gather.init(jax.random.PRNGKey(0), x)
+    a = gather.apply(variables, x)
+    b = fast.apply(variables, x)
+    # zero-init offsets -> in range -> identical
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
