@@ -38,6 +38,15 @@ class ModelHelper:
         restored = self._manager.restore(
             step, args=ocp.args.StandardRestore(_arrays_only(template_state))
         )
+        # return UNCOMMITTED arrays: orbax pins restored buffers to specific
+        # devices, which conflicts with mesh-sharded batches at the next jit
+        # dispatch; a host round-trip at restore time keeps them movable
+        import jax.numpy as jnp
+        import numpy as np
+
+        restored = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), restored
+        )
         return template_state.replace(**restored)
 
     def all_steps(self):
