@@ -37,3 +37,25 @@ def test_sharded_single_window():
         lambda w: w * 3, x, (8, 8), env.mesh
     )
     np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-6)
+
+
+def test_sharded_windows_with_real_model():
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.core.model import SegManaged
+    from iseg_tpu.nn.heads import SimpleDecoder
+
+    env = common_env_setup(EnvConfig(mixed_precision=False))
+    model = SegManaged(
+        num_class=3,
+        backbone=get_backbone("mobilenetv2", output_stride=16, width_multiplier=0.35),
+        head=SimpleDecoder(filters=16, low_level_filters=8),
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 48, 64, 3), jnp.float32)
+
+    apply_fn = lambda win: model.apply(variables, win, train=False)
+    serial = inference_with_sliding_window(apply_fn, x, (32, 32), stride_rate=0.5)
+    sharded = inference_with_sliding_window_sharded(
+        apply_fn, x, (32, 32), env.mesh, stride_rate=0.5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial),
+                               rtol=1e-4, atol=1e-5)
