@@ -22,6 +22,31 @@ import jax.numpy as jnp
 from iseg_tpu.ops.numerics import replace_non_finite
 
 
+def flatten_hw(x: jax.Array) -> jax.Array:
+    """[N, H, W, C] -> [N, H*W, C] (reference ``utils/attention_utils.py``)."""
+    return x.reshape(x.shape[0], -1, x.shape[-1])
+
+
+def get_attention(
+    query: jax.Array,
+    key: jax.Array,
+    apply_scale: bool = False,
+    numeric_stable: bool = False,
+) -> jax.Array:
+    """Plain attention-matrix softmax(Q K) (reference
+    ``utils/attention_utils.py:24`` — fp32 softmax when
+    ``numeric_stable``)."""
+    orig_dtype = query.dtype
+    if numeric_stable:
+        query = query.astype(jnp.float32)
+        key = key.astype(jnp.float32)
+    logits = jnp.einsum("bic,bjc->bij", query, key)
+    if apply_scale:
+        logits = logits / jnp.sqrt(jnp.asarray(query.shape[-1], logits.dtype))
+    attn = jax.nn.softmax(logits, axis=-1)
+    return attn.astype(orig_dtype) if numeric_stable else attn
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
