@@ -43,6 +43,9 @@ def synthetic_dataset(num_samples, crop, num_class, seed=0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--backbone", default="mobilenetv2")
+    p.add_argument("--backbone_kwargs", default="{}",
+                   help='JSON kwargs for get_backbone, e.g. '
+                        '\'{"dcn_sampling": "dense_local", "remat": true}\'')
     p.add_argument("--head", default="simpledecoder",
                    choices=["simpledecoder", "aspp", "fpn", "jpu", "fapn", "nasfpn"])
     p.add_argument("--output_stride", type=int, default=16)
@@ -97,10 +100,13 @@ def main():
         "nasfpn": lambda: heads.NASFPN(dtype=env.compute_dtype),
     }[args.head]()
 
+    import json
+
     model = SegManaged(
         num_class=args.num_class,
         backbone=get_backbone(args.backbone, output_stride=args.output_stride,
-                              dtype=env.compute_dtype),
+                              dtype=env.compute_dtype,
+                              **json.loads(args.backbone_kwargs)),
         head=head,
         use_ohem=args.ohem,
         upsample_logits=not args.fused_loss,

@@ -68,8 +68,17 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = DATA_AXIS) -> Any:
     (``core_train.py:155-195``): each process contributes its local shard.
     """
 
+    n_shards = mesh.shape[axis]
+
     def _put(x):
         x = np.asarray(x)
+        if x.shape[0] % n_shards != 0:
+            raise ValueError(
+                f"global batch {x.shape[0]} is not divisible by the "
+                f"{axis}-axis size {n_shards}; use a batch that is a "
+                f"multiple of the device count (the reference drops "
+                f"remainders for the same reason, core_train.py:155-183)"
+            )
         return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
 
     return jax.tree_util.tree_map(_put, batch)
