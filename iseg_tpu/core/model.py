@@ -68,6 +68,12 @@ class SegFoundation(SegBase):
     focal_loss_alpha: Optional[float] = 0.25
     class_weights: Optional[Sequence[float]] = None
     ignore_label: int = 255
+    # loss reduction: "valid_mean" (default) or "global_batch" — the
+    # reference's ``reduction=True`` / tf.nn.compute_average_loss path
+    # (catecrossentropy_ignore_label.py:85-86). "global_batch" needs
+    # ``loss_global_batch_size`` (total images per step, all replicas).
+    loss_reduction: str = "valid_mean"
+    loss_global_batch_size: Optional[int] = None
     # fuse the logits upsample into the loss (Pallas kernel): pair with
     # upsample_logits=False so full-res logits never materialize. Plain CE
     # only (no OHEM/focal/class-weights on the fused path).
@@ -126,6 +132,8 @@ class SegFoundation(SegBase):
                         focal_gamma=self.focal_loss_gamma,
                         focal_alpha=self.focal_loss_alpha,
                         ohem_fn=ohem_fn if i == 0 else None,
+                        reduction=self.loss_reduction,
+                        global_batch_size=self.loss_global_batch_size,
                     )
                 parts[f"{key}_loss"] = loss
                 rate = weights[i] if i < len(weights) else 1.0

@@ -50,6 +50,7 @@ def cross_entropy_ignore_label(
     focal_alpha: Optional[float] = 0.25,
     ohem_fn: Optional[Callable] = None,
     reduction: str = "valid_mean",
+    global_batch_size: Optional[int] = None,
 ) -> jax.Array:
     """The framework's default segmentation loss
     (reference ``catecrossentropy_ignore_label.py:14``).
@@ -60,8 +61,17 @@ def cross_entropy_ignore_label(
       class_weights: optional per-class loss weights (:66-77).
       ohem_fn: from :func:`iseg_tpu.losses.get_ohem_fn`; applied to the
         per-pixel losses (:82-83).
-      reduction: "valid_mean" (mean over contributing pixels, the
-        reference's behavior), "sum", or "none".
+      reduction: "valid_mean" (mean over contributing pixels), "sum",
+        "none", "all_mean", or "global_batch". "all_mean" divides by the
+        CONSTANT total pixel count N*H*W — the reference's default path
+        (``reduction=False`` + Keras ``sum_over_batch_size`` wrapping).
+        "global_batch" is the reference's ``reduction=True`` path
+        (``catecrossentropy_ignore_label.py:85-86``,
+        ``tf.nn.compute_average_loss``): sum of weighted pixel losses
+        divided by the CONSTANT global batch-image count. Both constants
+        keep the gradient scale independent of ignore-pixel coverage.
+      global_batch_size: required for ``reduction="global_batch"`` — the
+        total number of images per optimizer step across all replicas.
     """
     labels = prepare_labels(labels, logits)
     logits = logits.astype(jnp.float32)
@@ -69,6 +79,12 @@ def cross_entropy_ignore_label(
         num_classes = logits.shape[-1]
 
     mask = valid_mask(labels, ignore_label)
+    labels = labels.astype(jnp.int32)
+    if ignore_label == 0:
+        # Reference parity (catecrossentropy_ignore_label.py:58-59): when
+        # the ignore id is 0, real classes are stored as 1..C and shifted
+        # down so class k maps to logit channel k-1.
+        labels = labels - 1
     safe_labels = jnp.where(mask > 0, labels, 0).astype(jnp.int32)
 
     # True-class log-prob via a one-hot comparison reduce, NOT a gather:
@@ -119,5 +135,13 @@ def cross_entropy_ignore_label(
     total = jnp.sum(pixel_loss)
     if reduction == "sum":
         return total
+    if reduction == "all_mean":
+        return total / jnp.float32(pixel_loss.size)
+    if reduction == "global_batch":
+        if global_batch_size is None:
+            raise ValueError(
+                "reduction='global_batch' requires global_batch_size "
+                "(total images per step across all replicas)")
+        return total / jnp.float32(global_batch_size)
     denom = jnp.maximum(jnp.sum(weight_map), 1.0)
     return total / denom

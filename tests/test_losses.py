@@ -34,6 +34,54 @@ def test_ce_ignore_label_matches_manual():
     np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
 
 
+def test_ce_global_batch_reduction_matches_reference_formula():
+    # reference catecrossentropy_ignore_label.py:85-86: the reduction=True
+    # path is sum(weighted pixel CE) / global_batch_size — a CONSTANT
+    # denominator independent of ignore coverage.
+    logits, labels = _rand_logits_labels()
+    loss = cross_entropy_ignore_label(
+        logits, labels, ignore_label=255,
+        reduction="global_batch", global_batch_size=16,
+    )
+    lp = np.asarray(jax.nn.log_softmax(logits, -1))
+    lab = np.asarray(labels)
+    valid = lab != 255
+    safe = np.where(valid, lab, 0)
+    ce = -np.take_along_axis(lp, safe[..., None], -1)[..., 0]
+    expected = (ce * valid).sum() / 16.0
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_ce_global_batch_requires_size():
+    logits, labels = _rand_logits_labels()
+    try:
+        cross_entropy_ignore_label(logits, labels, reduction="global_batch")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_ce_ignore_label_zero_shifts_labels():
+    # reference catecrossentropy_ignore_label.py:58-59: ignore_label == 0
+    # means real classes are stored 1..C and shifted down by one so class
+    # k hits logit channel k-1.
+    rng = np.random.RandomState(3)
+    c = 4
+    logits = jnp.asarray(rng.randn(2, 6, 6, c), jnp.float32)
+    labels_np = rng.randint(1, c + 1, (2, 6, 6))
+    labels_np[rng.rand(2, 6, 6) < 0.25] = 0  # ignored
+    labels = jnp.asarray(labels_np, jnp.int32)
+
+    loss = cross_entropy_ignore_label(logits, labels, num_classes=c, ignore_label=0)
+
+    lp = np.asarray(jax.nn.log_softmax(logits, -1))
+    valid = labels_np != 0
+    shifted = np.where(valid, labels_np - 1, 0)
+    ce = -np.take_along_axis(lp, shifted[..., None], -1)[..., 0]
+    expected = (ce * valid).sum() / valid.sum()
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
 def test_ce_all_ignored_is_finite():
     logits, _ = _rand_logits_labels()
     labels = jnp.full(logits.shape[:3], 255, jnp.int32)
