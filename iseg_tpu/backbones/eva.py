@@ -42,9 +42,16 @@ def _rotate_half(x):
 
 
 def apply_rope(x, sin, cos):
-    """x: [B, N, H, D]; sin/cos: [N, D]."""
-    sin = sin[None, :, None, :].astype(x.dtype)
-    cos = cos[None, :, None, :].astype(x.dtype)
+    """x: [B, N, H, D]; sin/cos: [N, D] shared, or [B, N, D] per-batch
+    (the patch-dropout path gathers each element's kept positions)."""
+    if sin.ndim == 2:
+        sin = sin[None, :, None, :]
+        cos = cos[None, :, None, :]
+    else:
+        sin = sin[:, :, None, :]
+        cos = cos[:, :, None, :]
+    sin = sin.astype(x.dtype)
+    cos = cos.astype(x.dtype)
     return x * cos + _rotate_half(x) * sin
 
 
@@ -71,24 +78,29 @@ class SwiGLU(nn.Module):
 
 class PatchDropout(nn.Module):
     """Train-time token dropout keeping prefix tokens
-    (reference ``eva/patch_dropout.py:13``)."""
+    (reference ``eva/patch_dropout.py:13``). With ``return_indices`` the
+    kept spatial positions (sorted, per batch element — the reference's
+    ``ordered=True``) come back so callers can gather per-token RoPE
+    tables and scatter outputs back onto the full grid."""
 
     rate: float = 0.0
     num_prefix_tokens: int = 1
+    return_indices: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if not train or self.rate <= 0.0:
-            return x
+            return (x, None) if self.return_indices else x
         n, l, c = x.shape
         p = self.num_prefix_tokens
         num_keep = max(1, int((l - p) * (1.0 - self.rate)))
         rng = self.make_rng("dropout")
-        # per-batch shared keep set (static shape)
         noise = jax.random.uniform(rng, (n, l - p))
         keep_idx = jnp.argsort(noise, axis=-1)[:, :num_keep]
+        keep_idx = jnp.sort(keep_idx, axis=-1)  # ordered=True parity
         tokens = jnp.take_along_axis(x[:, p:], keep_idx[..., None], axis=1)
-        return jnp.concatenate([x[:, :p], tokens], axis=1)
+        out = jnp.concatenate([x[:, :p], tokens], axis=1)
+        return (out, keep_idx) if self.return_indices else out
 
 
 class EvaBlock(nn.Module):
@@ -142,6 +154,7 @@ class Eva(nn.Module):
     num_heads: int = 12
     drop_path_rate: float = 0.0
     patch_dropout_rate: float = 0.0
+    pos_dropout_rate: float = 0.0  # reference eva.py:172-174,249
     pretrain_grid: int = 16
     return_endpoints: bool = True
     dtype: Any = None
@@ -172,18 +185,44 @@ class Eva(nn.Module):
             pos_embed, (gh, gw), (self.pretrain_grid, self.pretrain_grid),
             num_prefix_tokens=1,
         )
+        patch_embedding = x.reshape(n, gh, gw, self.dim)
+
         cls = self.param("cls_token", nn.initializers.zeros_init(),
                          (1, 1, self.dim), self.param_dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.dim)), x], axis=1)
         x = x + pos.astype(x.dtype)
+        if self.pos_dropout_rate > 0.0:
+            x = nn.Dropout(self.pos_dropout_rate, name="pos_dropout")(
+                x, deterministic=not train)
 
-        # patch dropout would break the spatial reshape below, so for
-        # segmentation it only applies when explicitly enabled AND the
-        # caller accepts token outputs; we keep the reference default (off).
         head_dim = self.dim // self.num_heads
         sin, cos = build_rope_2d(gh, gw, head_dim)
         sin, cos = jnp.asarray(sin), jnp.asarray(cos)
 
+        # Patch dropout (reference eva/patch_dropout.py:13, an orphan module
+        # there; usable here): drop spatial tokens, gather each element's
+        # RoPE rows for its kept positions, and scatter block outputs back
+        # onto the full grid (zeros at dropped positions) so spatial
+        # endpoints keep their static shape.
+        keep_idx = None
+        if self.patch_dropout_rate > 0.0 and train:
+            x, keep_idx = PatchDropout(
+                self.patch_dropout_rate, num_prefix_tokens=1,
+                return_indices=True, name="patch_dropout")(x, train=train)
+        if keep_idx is not None:
+            sin = jnp.take(sin, keep_idx, axis=0)  # [B, nk, D]
+            cos = jnp.take(cos, keep_idx, axis=0)
+
+        def to_spatial(tokens):
+            """[B, nk(+drop), C] spatial tokens -> [B, gh, gw, C]."""
+            if keep_idx is None:
+                return tokens.reshape(n, gh, gw, self.dim)
+            full = jnp.zeros((n, gh * gw, self.dim), tokens.dtype)
+            full = jax.vmap(lambda f, i, t: f.at[i].set(t))(
+                full, keep_idx, tokens)
+            return full.reshape(n, gh, gw, self.dim)
+
+        endpoints = []
         for i in range(self.depth):
             x = EvaBlock(
                 dim=self.dim, num_heads=self.num_heads,
@@ -191,13 +230,16 @@ class Eva(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block{i}",
             )(x, sin, cos, train=train)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
+            if self.return_endpoints:
+                endpoints.append(to_spatial(x[:, 1:]))
 
-        spatial = x[:, 1:].reshape(n, gh, gw, self.dim)
+        # Reference endpoint semantics (eva.py:301-313):
+        # [class_token, patch_embedding, *per-block spatial]. No final
+        # LayerNorm exists in the reference Eva.
         if self.return_endpoints:
-            return [spatial]
-        return spatial
+            class_token = x[:, :1, :]
+            return [class_token, patch_embedding] + endpoints
+        return to_spatial(x[:, 1:])
 
 
 _VARIANTS = {

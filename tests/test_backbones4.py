@@ -40,10 +40,37 @@ def test_eva02_tiny_and_rope():
     bb = get_backbone("eva02_tiny")
     variables = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)))
     eps = bb.apply(variables, jnp.zeros((1, 56, 56, 3)))
-    assert eps[0].shape == (1, 4, 4, 192)
+    # reference endpoint semantics (eva.py:301-313):
+    # [class_token, patch_embedding, *per-block]
+    assert len(eps) == 2 + bb.depth
+    assert eps[0].shape == (1, 1, 192)      # class token
+    assert eps[1].shape == (1, 4, 4, 192)   # patch embedding
+    assert eps[-1].shape == (1, 4, 4, 192)  # last block
     # input-size freedom: same params, new grid -> new rope table
     eps2 = bb.apply(variables, jnp.zeros((1, 70, 70, 3)))
-    assert eps2[0].shape == (1, 5, 5, 192)
+    assert eps2[-1].shape == (1, 5, 5, 192)
+
+
+def test_eva02_patch_dropout_trains():
+    bb = get_backbone("eva02_tiny", patch_dropout_rate=0.5,
+                      return_endpoints=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 56, 56, 3), jnp.float32)
+    variables = bb.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True)
+
+    def loss_fn(params):
+        out = bb.apply({"params": params}, x, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.mean(out ** 2)
+
+    val, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(val))
+    leaf = jax.tree_util.tree_leaves(grads)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+    # eval-mode output keeps full spatial grid and drops nothing
+    out_eval = bb.apply({"params": variables["params"]}, x, train=False)
+    assert out_eval.shape == (2, 4, 4, 192)
 
 
 def test_rope_preserves_norm():
