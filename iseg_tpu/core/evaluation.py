@@ -88,9 +88,15 @@ def make_eval_step(
             sliding_window_stride_rate=cfg.sliding_window_stride_rate,
         )
 
+    seen_shapes = set()
+
     def eval_step(images):
+        seen_shapes.add(tuple(images.shape))
         return _eval_jit(variables, images)
 
+    # each distinct input shape = one compiled program (introspection for
+    # bucket accounting / tests)
+    eval_step.seen_shapes = seen_shapes
     return eval_step
 
 
@@ -124,9 +130,26 @@ def evaluate(
             )
         )
 
+    cfg = inference_config or SegModelInferenceConfig()
+
     n_batches = 0
     loss_sum = 0.0
     for batch in dataset:
+        if cfg.bucket_multiple:
+            # quantize variable sizes to the bucket grid so eval compiles
+            # O(#buckets) programs (utils/buckets; SURVEY hard-part #1)
+            import numpy as np
+
+            from iseg_tpu.utils.buckets import pad_batch_to_bucket
+
+            img, lab, _ = pad_batch_to_bucket(
+                np.asarray(batch["image"]),
+                np.asarray(batch["label"]),
+                multiple=cfg.bucket_multiple,
+                image_pad_value=cfg.bucket_pad_value,
+                ignore_label=ignore_label,
+            )
+            batch = {**batch, "image": img, "label": lab}
         batch = shard_batch(env.mesh, batch)
         logits = eval_step(batch["image"])
         miou.update_state(batch["label"], logits)
@@ -138,6 +161,10 @@ def evaluate(
             if loss_fn is not None:
                 msg += f" loss={loss_sum / n_batches:.4f}"
             print(msg, flush=True)
+
+    # diagnostic: how many distinct programs this eval compiled (bucket
+    # accounting; one per distinct padded shape)
+    evaluate.last_num_programs = len(getattr(eval_step, "seen_shapes", ()))
 
     per_class = miou.per_class_iou()
     if verbose:

@@ -68,29 +68,44 @@ def predict_with_dir(
     inference_config: Optional[SegModelInferenceConfig] = None,
     palette: Optional[Sequence[int]] = None,
     verbose: bool = True,
+    per_image_buckets: bool = False,
 ) -> list[str]:
     """Predict every image in ``input_dir`` to a label PNG in ``output_dir``
-    (reference ``core_predict.py:21``). Returns written paths."""
+    (reference ``core_predict.py:21``). Returns written paths.
+
+    ``per_image_buckets=False`` (default) pads everything to one
+    directory-max bucket — a single compiled program. ``True`` groups
+    images by their own ``utils.buckets.bucket_hw`` bucket instead: one
+    program per occupied bucket, far less padded compute when the
+    directory mixes sizes (Cityscapes + ADE-style dirs)."""
     try:
         from PIL import Image as PILImage
     except ImportError as e:  # pragma: no cover
         raise ImportError("PIL required for predict_with_dir") from e
+
+    from iseg_tpu.utils.buckets import bucket_hw
 
     os.makedirs(output_dir, exist_ok=True)
     paths = list_images(input_dir)
     if not paths:
         return []
 
-    # one padded bucket for the whole directory -> one compiled program
     sizes = []
     raw_images = []
     for p in paths:
         img = load_image(p)
         raw_images.append(img)
         sizes.append(img.shape[:2])
-    bucket_h = _round_up(max(s[0] for s in sizes), pad_multiple)
-    bucket_w = _round_up(max(s[1] for s in sizes), pad_multiple)
     mean_pixel = get_mean_pixel(norm)
+
+    if per_image_buckets:
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (h, w) in enumerate(sizes):
+            groups.setdefault(bucket_hw(h, w, pad_multiple), []).append(i)
+    else:
+        bucket_h = _round_up(max(s[0] for s in sizes), pad_multiple)
+        bucket_w = _round_up(max(s[1] for s in sizes), pad_multiple)
+        groups = {(bucket_h, bucket_w): list(range(len(paths)))}
 
     # weights as a jit argument, not a baked-in closure constant
     _predict_jit = jax.jit(
@@ -99,29 +114,33 @@ def predict_with_dir(
     predict_jit = lambda x: _predict_jit(variables, x)
 
     written = []
-    for start in range(0, len(paths), batch_size):
-        chunk = raw_images[start : start + batch_size]
-        batch = np.empty((len(chunk), bucket_h, bucket_w, 3), np.float32)
-        batch[:] = mean_pixel
-        for i, img in enumerate(chunk):
-            batch[i, : img.shape[0], : img.shape[1]] = img
-        batch = normalize_input(batch, norm)
-        # pad the final partial batch to full size for shape stability
-        if len(chunk) < batch_size:
-            pad = np.repeat(batch[-1:], batch_size - len(chunk), axis=0)
-            batch = np.concatenate([batch, pad], axis=0)
+    n_done = 0
+    for (bucket_h, bucket_w), indices in groups.items():
+        for start in range(0, len(indices), batch_size):
+            idx_chunk = indices[start : start + batch_size]
+            chunk = [raw_images[i] for i in idx_chunk]
+            batch = np.empty((len(chunk), bucket_h, bucket_w, 3), np.float32)
+            batch[:] = mean_pixel
+            for i, img in enumerate(chunk):
+                batch[i, : img.shape[0], : img.shape[1]] = img
+            batch = normalize_input(batch, norm)
+            # pad the final partial batch to full size for shape stability
+            if len(chunk) < batch_size:
+                pad = np.repeat(batch[-1:], batch_size - len(chunk), axis=0)
+                batch = np.concatenate([batch, pad], axis=0)
 
-        preds = np.asarray(predict_jit(jnp.asarray(batch)))
-        for i, img in enumerate(chunk):
-            h, w = sizes[start + i]
-            pred = preds[i, :h, :w].astype(np.uint8)
-            out = PILImage.fromarray(pred, mode="P" if palette else "L")
-            if palette:
-                out.putpalette(palette)
-            name = os.path.splitext(os.path.basename(paths[start + i]))[0] + ".png"
-            out_path = os.path.join(output_dir, name)
-            out.save(out_path)
-            written.append(out_path)
-        if verbose:
-            print(f"predicted {min(start + batch_size, len(paths))}/{len(paths)}", flush=True)
+            preds = np.asarray(predict_jit(jnp.asarray(batch)))
+            for i, src_idx in enumerate(idx_chunk):
+                h, w = sizes[src_idx]
+                pred = preds[i, :h, :w].astype(np.uint8)
+                out = PILImage.fromarray(pred, mode="P" if palette else "L")
+                if palette:
+                    out.putpalette(palette)
+                name = os.path.splitext(os.path.basename(paths[src_idx]))[0] + ".png"
+                out_path = os.path.join(output_dir, name)
+                out.save(out_path)
+                written.append(out_path)
+            n_done += len(idx_chunk)
+            if verbose:
+                print(f"predicted {n_done}/{len(paths)}", flush=True)
     return written

@@ -120,6 +120,9 @@ class CoreTrain:
         callbacks: Optional[list] = None,
         inputs_process: Optional[Callable] = None,
         device_augment: Optional[Callable] = None,
+        use_profiler: bool = False,
+        profiler_dir: str = "/tmp/iseg_tpu_profile",
+        profile_steps: int = 5,
     ):
         self.env = env
         self.model = model
@@ -136,6 +139,12 @@ class CoreTrain:
         # fn(rng, images, labels) -> (images, labels); runs jitted on the
         # sharded batch, feeding raw host images straight to the device
         self.device_augment = device_augment
+        # jax.profiler trace window (reference core_train.py:121-126 wires
+        # the TensorBoard profiler at 10% of the first epoch when
+        # use_profiler=True; same policy here via utils.profiling)
+        self.use_profiler = use_profiler
+        self.profiler_dir = profiler_dir
+        self.profile_steps = profile_steps
         self._host_step = 0
 
     def restore(self):
@@ -165,6 +174,15 @@ class CoreTrain:
                 raise ValueError("initial_epoch=-1 requires steps_per_epoch")
             initial_epoch = int(self.state.step) // steps_per_epoch
 
+        # profiler window start step: 10% into the first profiled epoch
+        # (reference core_train.py:121-126 profile_batch policy)
+        profile_start = None
+        if self.use_profiler:
+            profile_start = max(1, (steps_per_epoch or 10) // 10)
+        profiling = False
+
+        from iseg_tpu.utils.profiling import StepTimer
+
         history = []
         for epoch in range(initial_epoch, epochs):
             for cb in self.callbacks:
@@ -172,6 +190,7 @@ class CoreTrain:
             t0 = time.time()
             step_in_epoch = 0
             last_parts = {}
+            timer = StepTimer()
             for batch in dataset_fn(epoch):
                 if self.inputs_process is not None:
                     batch = self.inputs_process(batch)
@@ -184,10 +203,23 @@ class CoreTrain:
                         aug_rng, batch["image"], batch["label"]
                     )
                     batch = {"image": image, "label": label}
+                if (profile_start is not None and epoch == initial_epoch
+                        and step_in_epoch == profile_start and not profiling):
+                    jax.profiler.start_trace(self.profiler_dir)
+                    profiling = True
                 self.state, parts = self.train_step(self.state, batch, self.rng)
                 self._host_step += 1
                 last_parts = parts
                 step_in_epoch += 1
+                timer.tick()
+                if profiling and step_in_epoch >= profile_start + self.profile_steps:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), parts)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_start = None
+                    print(f"profiler trace written to {self.profiler_dir}",
+                          flush=True)
                 if self.log_every and step_in_epoch % self.log_every == 0:
                     loss = float(parts["loss"])
                     print(
@@ -196,12 +228,18 @@ class CoreTrain:
                     )
                 if steps_per_epoch and step_in_epoch >= steps_per_epoch:
                     break
+            if profiling:  # window spilled past the epoch: close it
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_start = None
             # epoch-end bookkeeping (reference TimeCallback + CheckpointSaver)
             dt = time.time() - t0
             record = {
                 "epoch": epoch,
                 "steps": step_in_epoch,
                 "seconds": dt,
+                **{f"step_{k}": v for k, v in timer.summary().items()
+                   if k != "steps"},
                 **{k: float(v) for k, v in last_parts.items()},
             }
             history.append(record)

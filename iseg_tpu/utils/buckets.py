@@ -59,6 +59,30 @@ def crop_logits(logits: np.ndarray, original_hw: tuple[int, int]) -> np.ndarray:
     return logits[..., :h, :w, :]
 
 
+def pad_batch_to_bucket(
+    images: np.ndarray,
+    labels: np.ndarray | None = None,
+    multiple: int = 128,
+    image_pad_value: float = 0.0,
+    ignore_label: int = 255,
+):
+    """Pad a [N,H,W,C] image batch (+[N,H,W] labels) up to the bucket grid.
+
+    Labels pad with ``ignore_label`` so padded pixels never contribute to
+    metrics or losses. Returns (images, labels, original_hw)."""
+    n, h, w = images.shape[:3]
+    bh, bw = bucket_hw(h, w, multiple)
+    if (bh, bw) == (h, w):
+        return images, labels, (h, w)
+    out = np.full((n, bh, bw) + images.shape[3:], image_pad_value, images.dtype)
+    out[:, :h, :w] = images
+    lout = None
+    if labels is not None:
+        lout = np.full((n, bh, bw), ignore_label, labels.dtype)
+        lout[:, :h, :w] = labels
+    return out, lout, (h, w)
+
+
 def bucket_stats(sizes: Sequence[tuple[int, int]], multiple: int = 128) -> dict:
     """How many distinct compiled programs a size distribution costs."""
     buckets = {}
