@@ -78,7 +78,8 @@ class MobileNetV2(nn.Module):
     output_stride: int = 32
     width_multiplier: float = 1.0
     return_endpoints: bool = True
-    include_top_conv: bool = False  # classification-top 1280 conv
+    include_top_conv: bool = True  # Conv_1 1280 top conv — part of the
+    # reference forward and its final endpoint (mobilenetv2_common.py:59-63)
     norm: str = "sync_batch_norm"
     dtype: Any = None
     param_dtype: Any = jnp.float32

@@ -28,6 +28,7 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dilation: int = 1
+    conv_shortcut: Optional[bool] = None
     norm: str = "sync_batch_norm"
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -46,22 +47,34 @@ class BasicBlock(nn.Module):
             norm=self.norm, act=None, bn_epsilon=_BN_EPS,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(h, train=train)
-        if self.stride != 1 or shortcut.shape[-1] != self.filters:
+        use_conv_shortcut = self.conv_shortcut
+        if use_conv_shortcut is None:
+            use_conv_shortcut = (
+                self.stride != 1 or shortcut.shape[-1] != self.filters)
+        if use_conv_shortcut:
             shortcut = ConvNormAct(
                 filters=self.filters, kernel_size=1, strides=self.stride,
                 norm=self.norm, act=None, bn_epsilon=_BN_EPS,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="shortcut",
             )(shortcut, train=train)
+        elif self.stride != 1:
+            shortcut = nn.avg_pool(
+                shortcut, (self.stride, self.stride),
+                strides=(self.stride, self.stride), padding="SAME")
         return nn.relu(h + shortcut)
 
 
 class BottleneckBlock(nn.Module):
-    """1x1 -> 3x3 -> 1x1(x4) bottleneck. Stride on the 3x3 (the "modern" /
-    v1.5 placement the reference uses)."""
+    """1x1 -> 3x3 -> 1x1(x4) bottleneck, stride on the 3x3 (reference
+    ``BlockType2`` ``resnet_blocks.py:112``). ``conv_shortcut`` None = auto
+    (conv projection when stride or channel change); the slim stacks pass
+    False on stride blocks, where the identity path downsamples with an
+    avg-pool instead (``resnet_blocks.py:184-190``)."""
 
     filters: int
     stride: int = 1
     dilation: int = 1
+    conv_shortcut: Optional[bool] = None
     norm: str = "sync_batch_norm"
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -70,6 +83,10 @@ class BottleneckBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         shortcut = x
         out_ch = self.filters * 4
+        use_conv_shortcut = self.conv_shortcut
+        if use_conv_shortcut is None:
+            use_conv_shortcut = self.stride != 1 or x.shape[-1] != out_ch
+
         h = ConvNormAct(
             filters=self.filters, kernel_size=1, norm=self.norm, act="relu",
             bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -86,12 +103,17 @@ class BottleneckBlock(nn.Module):
             bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv3",
         )(h, train=train)
-        if self.stride != 1 or shortcut.shape[-1] != out_ch:
+        if use_conv_shortcut:
             shortcut = ConvNormAct(
                 filters=out_ch, kernel_size=1, strides=self.stride,
                 norm=self.norm, act=None, bn_epsilon=_BN_EPS,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="shortcut",
             )(shortcut, train=train)
+        elif self.stride != 1:
+            # parameter-free identity downsample (reference slim blocks)
+            shortcut = nn.avg_pool(
+                shortcut, (self.stride, self.stride),
+                strides=(self.stride, self.stride), padding="SAME")
         return nn.relu(h + shortcut)
 
 
@@ -109,6 +131,9 @@ class ResNet(nn.Module):
     # block, and endpoints tap the pre-stride activation
     slim_stack: bool = False
     stem_filters: int = 64
+    # deep-stem width scale (reference ``conv1_depth_multiplier``,
+    # ``resnet_common.py:246``; 0.5 for resnet9/10)
+    stem_depth_multiplier: float = 1.0
     return_endpoints: bool = True
     norm: str = "sync_batch_norm"
     dtype: Any = None
@@ -121,11 +146,14 @@ class ResNet(nn.Module):
 
         # stem (os 2)
         if self.deep_stem:
-            x = ConvNormAct(filters=self.stem_filters // 2, kernel_size=3, strides=2,
+            # reference build_3x3_resnet (resnet_common.py:246-276):
+            # 64m s2 -> 64m -> 128m
+            m = self.stem_depth_multiplier
+            x = ConvNormAct(filters=int(64 * m), kernel_size=3, strides=2,
                             bn_epsilon=_BN_EPS, name="stem0", **common)(x, train=train)
-            x = ConvNormAct(filters=self.stem_filters // 2, kernel_size=3,
+            x = ConvNormAct(filters=int(64 * m), kernel_size=3,
                             bn_epsilon=_BN_EPS, name="stem1", **common)(x, train=train)
-            x = ConvNormAct(filters=self.stem_filters, kernel_size=3,
+            x = ConvNormAct(filters=int(128 * m), kernel_size=3,
                             bn_epsilon=_BN_EPS, name="stem2", **common)(x, train=train)
         else:
             x = ConvNormAct(filters=self.stem_filters, kernel_size=7, strides=2,
@@ -150,24 +178,31 @@ class ResNet(nn.Module):
                 is_last_stage = stage_idx == num_stages - 1
                 grid = (
                     list(self.multi_grid)
-                    if (is_last_stage and self.multi_grid and dilation > 1)
+                    if (is_last_stage and self.multi_grid)
                     else [1] * depth
                 )
                 for i in range(depth):
-                    rate = dilation * grid[i % len(grid)]
                     wants_stride = i == depth - 1 and not is_last_stage
                     if wants_stride:
                         endpoints.append(x)
                         if current_stride >= self.output_stride:
                             stride = 1
-                            dilation *= 2  # applies to later stages
+                            # the de-strided block itself runs at the
+                            # DOUBLED rate (reference build_atrous_resnet
+                            # resnet_common.py:577-581)
+                            dilation *= 2
                         else:
                             stride = 2
                             current_stride *= 2
                     else:
                         stride = 1
+                    rate = dilation * grid[i % len(grid)]
                     x = block_cls(
                         filters=filters, stride=stride, dilation=rate,
+                        # conv projection only on each stage's first block;
+                        # slim stride blocks use the avg-pool identity
+                        # (reference Stack2 resnet_common.py:113-148)
+                        conv_shortcut=(i == 0),
                         name=f"stage{stage_idx}_block{i}", **common,
                     )(x, train=train)
             endpoints.append(x)
@@ -190,7 +225,7 @@ class ResNet(nn.Module):
             is_last = stage_idx == len(self.depths) - 1
             grid = (
                 list(self.multi_grid)
-                if (is_last and self.multi_grid and dilation > 1)
+                if (is_last and self.multi_grid)
                 else [1] * depth
             )
             for block_idx in range(depth):
@@ -210,26 +245,34 @@ class ResNet(nn.Module):
 
 
 _CONFIGS = {
-    # name: (depths, bottleneck, deep_stem)
-    "resnet9": ((1, 1, 1, 1), False, False),
-    "resnet10": ((1, 1, 1, 1), False, True),
-    "resnet18": ((2, 2, 2, 2), False, False),
-    "resnet50": ((3, 4, 6, 3), True, False),
-    "resnet52": ((3, 4, 6, 3), True, True),
-    "resnet101": ((3, 4, 23, 3), True, False),
-    "resnet103": ((3, 4, 23, 3), True, True),
-    "resnet152": ((3, 8, 36, 3), True, False),
+    # name: (depths, bottleneck, stem_multiplier)
+    # All reference resnets are built deep-stem + slim by default
+    # (feature_extractor.py:58-66 forces replace_7x7_conv=True,
+    # slim_behaviour=True, use_bias=False); the published weights match
+    # that configuration. resnet52/103 are the reference's aliases for the
+    # same constructors (feature_extractor.py:84-86).
+    "resnet9": ((1, 1, 1, 1), False, 0.5),
+    "resnet10": ((1, 1, 1, 1), False, 0.5),
+    "resnet18": ((2, 2, 2, 2), False, 1.0),
+    "resnet50": ((3, 4, 6, 3), True, 1.0),
+    "resnet52": ((3, 4, 6, 3), True, 1.0),
+    "resnet101": ((3, 4, 23, 3), True, 1.0),
+    "resnet103": ((3, 4, 23, 3), True, 1.0),
+    "resnet152": ((3, 8, 36, 3), True, 1.0),
 }
 
 
-def _make_ctor(name, depths, bottleneck, deep_stem):
-    def ctor(output_stride=32, return_endpoints=True, multi_grid=None, **kwargs):
-        if multi_grid is None and output_stride in (8, 16):
-            multi_grid = (1, 2, 4)  # DeepLab default when dilated
+def _make_ctor(name, depths, bottleneck, stem_mult):
+    def ctor(output_stride=32, return_endpoints=True, multi_grid=(1, 2, 4),
+             deep_stem=True, slim_stack=True, **kwargs):
+        # the reference applies multi-grid unconditionally to the last
+        # stage (feature_extractor.py:141 apply_multi_grid grids=[1,2,4])
         return ResNet(
             depths=depths,
             use_bottleneck=bottleneck,
             deep_stem=deep_stem,
+            slim_stack=slim_stack,
+            stem_depth_multiplier=stem_mult,
             output_stride=output_stride,
             multi_grid=multi_grid,
             return_endpoints=return_endpoints,
@@ -240,5 +283,5 @@ def _make_ctor(name, depths, bottleneck, deep_stem):
     return ctor
 
 
-for _name, (_depths, _bneck, _stem) in _CONFIGS.items():
-    register_backbone(_name, _make_ctor(_name, _depths, _bneck, _stem))
+for _name, (_depths, _bneck, _mult) in _CONFIGS.items():
+    register_backbone(_name, _make_ctor(_name, _depths, _bneck, _mult))

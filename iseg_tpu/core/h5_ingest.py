@@ -20,11 +20,12 @@ import jax
 import numpy as np
 
 
-def read_h5_weights(path: str) -> dict[str, np.ndarray]:
+def read_h5_weights(path) -> dict[str, np.ndarray]:
     """Flatten a Keras .h5 weight file into {slash-name: array}.
 
     Handles both Keras-2 ``layer_names``/``weight_names`` attr layouts and
-    plain nested groups (Keras-3 ``.weights.h5``)."""
+    plain nested groups (Keras-3 ``.weights.h5``). ``path`` may be a file
+    path or an open file-like object (e.g. a ``.keras`` archive member)."""
     import h5py
 
     out: dict[str, np.ndarray] = {}
@@ -39,6 +40,55 @@ def read_h5_weights(path: str) -> dict[str, np.ndarray]:
     return {normalize_weight_name(k): v for k, v in out.items()}
 
 
+def read_keras_archive_weights(path: str) -> dict[str, np.ndarray]:
+    """Flatten a Keras-3 ``.keras`` zip archive's weight store
+    (reference ``feature_extractor.py:183-185`` ``.keras`` branch)."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        member = next(
+            (n for n in z.namelist() if n.endswith("model.weights.h5")), None)
+        if member is None:
+            raise ValueError(f"{path}: no model.weights.h5 inside archive")
+        data = io.BytesIO(z.read(member))
+    return read_h5_weights(data)
+
+
+def read_tf_checkpoint_weights(path: str) -> dict[str, np.ndarray]:
+    """Flatten a TF checkpoint into {name: array} (reference
+    ``feature_extractor.py:178-181`` ``.ckpt`` branch). Strips the
+    ``.ATTRIBUTES/VARIABLE_VALUE`` suffix and object-path prefixes that
+    ``tf.train.Checkpoint`` adds."""
+    try:
+        import tensorflow as tf  # noqa: F401  (optional dependency)
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(".ckpt ingest requires tensorflow") from e
+    from tensorflow.python.training import py_checkpoint_reader
+
+    reader = py_checkpoint_reader.NewCheckpointReader(path)
+    out = {}
+    for name in reader.get_variable_to_shape_map():
+        if "OPTIMIZER" in name.upper() or name.startswith("save_counter"):
+            continue
+        clean = name.replace("/.ATTRIBUTES/VARIABLE_VALUE", "")
+        clean = clean.replace(".ATTRIBUTES/VARIABLE_VALUE", "")
+        out[clean] = np.asarray(reader.get_tensor(name))
+    return out
+
+
+def read_pretrained_weights(path: str) -> dict[str, np.ndarray]:
+    """Format dispatch by filename, mirroring the reference's pretrained
+    loader (``feature_extractor.py:166-187``): ``.h5``/``.weights.h5`` ->
+    Keras h5, ``.keras`` -> zip archive, otherwise a TF checkpoint
+    prefix."""
+    if path.endswith(".keras"):
+        return read_keras_archive_weights(path)
+    if path.endswith(".h5") or path.endswith(".hdf5"):
+        return read_h5_weights(path)
+    return read_tf_checkpoint_weights(path)
+
+
 def normalize_weight_name(name: str) -> str:
     """Strip ``:0`` suffixes, collapse duplicate path segments, normalize
     separators (reference ``h5_saver.py:96`` slash normalization)."""
@@ -50,6 +100,36 @@ def normalize_weight_name(name: str) -> str:
         if not dedup or dedup[-1] != p:
             dedup.append(p)
     return "/".join(dedup)
+
+
+def canonical_ref_name(name: str, drop_root: bool = False) -> str:
+    """Canonicalize a reference/Keras weight name.
+
+    Keras-3 paths repeat the parent chain inside each segment
+    (``layers.0/layers.0.blocks.1/layers.0.blocks.1.attn.qkv/kernel``);
+    Keras-2 h5 names use plain scopes. Both reduce to the same canonical
+    form by (a) stripping ``:0``, (b) dropping the root model-name segment,
+    (c) removing each segment's dot-joined parent prefix, and (d) mapping
+    the reference's keras3 slash substitution ``.`` back where it was a
+    separator. Result: ``layers.0/blocks.1/attn/qkv/kernel``."""
+    name = normalize_weight_name(name)
+    parts = [p for p in name.split("/") if p]
+    ctx: list[str] = []
+    if drop_root and len(parts) > 1:
+        ctx = parts[0].split(".")
+        parts = parts[1:]
+    out = []
+    for seg in parts:
+        stripped = seg
+        # remove the longest dot-joined tail of the context from the front
+        for k in range(len(ctx), 0, -1):
+            prefix = ".".join(ctx[-k:]) + "."
+            if seg.startswith(prefix):
+                stripped = seg[len(prefix):]
+                break
+        out.append(stripped)
+        ctx = ctx + stripped.split(".")
+    return "/".join(out)
 
 
 def _path_str(path) -> str:
@@ -73,10 +153,23 @@ _LEAF_SYNONYMS = {
 }
 
 
+def resolve_ref_name(target: str, canon_index: Mapping[str, str]) -> Optional[str]:
+    """Resolve a canonical target name against a {canonical: original} index
+    by exact match, then by unique ``.../target`` suffix (h5 files may keep
+    extra root/group prefixes)."""
+    if target in canon_index:
+        return canon_index[target]
+    suffix = "/" + target
+    hits = [orig for canon, orig in canon_index.items() if canon.endswith(suffix)]
+    if len(hits) == 1:
+        return hits[0]
+    return None
+
+
 def load_h5_weights_by_name(
     variables,
-    h5_path: str,
-    name_map: Optional[Mapping[str, str] | Callable[[str], Optional[str]]] = None,
+    h5_path: str | Mapping[str, np.ndarray],
+    name_map: Optional[Mapping[str, object] | Callable[[str], Optional[str]]] = None,
     strict: bool = False,
     verbose: bool = False,
 ):
@@ -84,15 +177,29 @@ def load_h5_weights_by_name(
 
     Args:
       variables: {"params": ..., "batch_stats": ...} pytree to fill.
-      name_map: optional exact mapping {flax_path: h5_name} or a callable
-        returning the h5 name for a flax path (None = use heuristics).
+      h5_path: an .h5 file path, or an already-flat {name: array} dict
+        (e.g. from :func:`read_tf_checkpoint` / an in-memory reference dump).
+      name_map: optional mapping {flax_path: spec} or a callable returning
+        the h5 name for a flax path (None = use heuristics). A spec is a
+        canonical reference name (str), an ``(h5_name, transform)`` tuple
+        whose transform maps the stored array to the flax layout
+        (slice/reshape/transpose), or ``((name1, name2, ...), transform)``
+        where the transform combines several stored arrays (fused qkv,
+        packed biases).
       strict: raise when a parameter finds no h5 counterpart.
     Returns (new_variables, report dict with 'loaded'/'missing' lists).
     """
-    weights = read_h5_weights(h5_path)
+    if isinstance(h5_path, str):
+        weights = read_h5_weights(h5_path)
+    else:
+        weights = {normalize_weight_name(k): np.asarray(v)
+                   for k, v in h5_path.items()}
     norm_index: dict[str, str] = {}
     for k in weights:
         norm_index[k.lower()] = k
+    canon_index: dict[str, str] = {}
+    for k in weights:
+        canon_index[canonical_ref_name(k)] = k
 
     loaded, missing = [], []
 
@@ -102,9 +209,23 @@ def load_h5_weights_by_name(
             if target is not None and target in weights:
                 return weights[target]
         elif name_map and path_str in name_map:
-            target = name_map[path_str]
-            if target in weights:
-                return weights[target]
+            spec = name_map[path_str]
+            transform = None
+            if isinstance(spec, tuple):
+                spec, transform = spec
+            if isinstance(spec, tuple):  # multi-source: ((n1, n2), fn)
+                arrays = []
+                for s in spec:
+                    orig = resolve_ref_name(s, canon_index)
+                    if orig is None:
+                        return None
+                    arrays.append(weights[orig])
+                return np.asarray(transform(*arrays))
+            orig = resolve_ref_name(spec, canon_index)
+            if orig is None:
+                return None
+            w = weights[orig]
+            return np.asarray(transform(w)) if transform is not None else w
 
         # heuristic: match by tail leaf synonym + module path tokens + shape
         segs = path_str.lower().split("/")

@@ -35,6 +35,13 @@ class SegModelInferenceConfig:
     sliding_window_crop_size: Optional[tuple[int, int]] = None
     sliding_window_stride_rate: float = 2.0 / 3.0
     use_cpu_cache: bool = False  # host-offload of the logit accumulator
+    # Shape bucketing (SURVEY hard-part #1): quantize variable eval sizes
+    # to a grid so Cityscapes-style eval compiles O(#buckets) programs,
+    # not O(#shapes). None disables. Labels pad with ignore_label; images
+    # pad with ``bucket_pad_value`` (0 = the mean pixel after zero-mean
+    # input normalization).
+    bucket_multiple: Optional[int] = None
+    bucket_pad_value: float = 0.0
 
 
 class SegBase(nn.Module):

