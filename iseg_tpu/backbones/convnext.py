@@ -67,7 +67,9 @@ class ConvNeXt(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        endpoints = []
+        # reference convnext.py:180 seeds the endpoint list with a None
+        # placeholder (there is no os2 feature); consumers index from the end
+        endpoints = [None]
         # patchify stem -> os4
         x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4),
                     dtype=self.dtype, param_dtype=self.param_dtype,

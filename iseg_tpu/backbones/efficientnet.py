@@ -105,7 +105,8 @@ class EfficientNet(nn.Module):
     output_stride: int = 32
     drop_connect_rate: float = 0.2
     return_endpoints: bool = True
-    include_top_conv: bool = False
+    include_top_conv: bool = True  # top_conv is the final endpoint in the
+    # reference (efficientnet.py:362-367, use_top=True default)
     norm: str = "sync_batch_norm"
     dtype: Any = None
     param_dtype: Any = jnp.float32

@@ -215,6 +215,9 @@ class SwinTransformer(nn.Module):
                     name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="patch_norm")(x)
+        # first endpoint is the patch embedding itself, pre-blocks
+        # (reference swin.py:609)
+        endpoints.append(x)
 
         total = sum(self.depths)
         block_idx = 0
@@ -236,8 +239,8 @@ class SwinTransformer(nn.Module):
                 )(x, train=train)
                 block_idx += 1
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
+        # no final norm: the reference swin model ends at the last block
+        # (swin.py:613-623; its endpoint list is [patch_embed, *stage-ends])
         endpoints.append(x)
         if self.return_endpoints:
             return endpoints

@@ -36,6 +36,10 @@ class XceptionBlock(nn.Module):
             stride = self.stride if i == len(self.filters) - 1 else 1
             h = SepConvNormAct(
                 filters=f, kernel_size=3, strides=stride, dilation=self.dilation,
+                # reference blocks use the pre-activation sepconv form
+                # (XceptionDepthWiseConv activation=False,
+                # xception_common.py:44-61)
+                pre_act=True,
                 name=f"sepconv{i}", **common,
             )(h, train=train)
         if self.skip_type == "conv":
@@ -68,6 +72,9 @@ class Xception(nn.Module):
         x = ConvNormAct(filters=32, kernel_size=3, strides=2, name="stem0", **common)(
             x, train=train
         )
+        # first endpoint: after block1_conv1, before block1_conv2
+        # (reference xception_common.py:180-186)
+        endpoints.append(x)
         x = ConvNormAct(filters=64, kernel_size=3, name="stem1", **common)(
             x, train=train
         )
@@ -79,14 +86,20 @@ class Xception(nn.Module):
             ((728, 728, 728), "entry_block3"),
         ]
         for filters, name in entry_specs:
-            endpoints.append(x)
+            # reference build_atrous_xception (xception_common.py:242-258):
+            # a de-strided block keeps the CURRENT rate; the rate doubles
+            # only for the blocks after it (opposite order to resnet's)
             if current_stride >= self.output_stride:
+                rate, stride = dilation, 1
                 dilation *= 2
-                stride = 1
             else:
+                rate, stride = dilation, 2
                 current_stride *= 2
-                stride = 2
-            x = XceptionBlock(filters=filters, stride=stride, dilation=dilation,
+            # the reference taps an endpoint only before blocks that remain
+            # strided after the atrous rewrite (xception_common.py:193-195)
+            if stride == 2:
+                endpoints.append(x)
+            x = XceptionBlock(filters=filters, stride=stride, dilation=rate,
                               name=name, **common)(x, train=train)
 
         for i in range(self.middle_blocks):
@@ -95,14 +108,15 @@ class Xception(nn.Module):
                 skip_type="sum", name=f"middle_block{i}", **common,
             )(x, train=train)
 
-        endpoints.append(x)
         if current_stride >= self.output_stride:
+            rate, stride = dilation, 1
             dilation *= 2
-            stride = 1
         else:
+            rate, stride = dilation, 2
             current_stride *= 2
-            stride = 2
-        x = XceptionBlock(filters=(728, 1024, 1024), stride=stride, dilation=dilation,
+        if stride == 2:
+            endpoints.append(x)
+        x = XceptionBlock(filters=(728, 1024, 1024), stride=stride, dilation=rate,
                           name="exit_block", **common)(x, train=train)
         for i, f in enumerate((1536, 1536, 2048)):
             x = SepConvNormAct(filters=f, kernel_size=3, dilation=dilation,

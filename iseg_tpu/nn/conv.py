@@ -150,12 +150,20 @@ class SepConvNormAct(nn.Module):
     act: Activation = "relu"
     depth_multiplier: int = 1
     norm_between: bool = True  # norm+act between depthwise and pointwise
+    # pre-activation form (reference XceptionDepthWiseConv with
+    # activation=False, xception_common.py:44-61): act BEFORE the depthwise
+    # conv, no act between the norms or after the pointwise
+    pre_act: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
+        if self.pre_act:
+            pre = _resolve_act(self.act)
+            if pre is not None:
+                x = pre(x)
         x = nn.Conv(
             features=in_ch * self.depth_multiplier,
             kernel_size=_pair(self.kernel_size),
@@ -177,13 +185,13 @@ class SepConvNormAct(nn.Module):
             if "batch_norm" in self.norm or self.norm in ("bn", "syncbn", "sync_bn"):
                 kwargs = dict(use_running_average=not train)
             x = norm_ctor(name="depthwise_norm", **kwargs)(x)
-            if act is not None:
+            if act is not None and not self.pre_act:
                 x = act(x)
         x = ConvNormAct(
             filters=self.filters,
             kernel_size=1,
             norm=self.norm,
-            act=self.act,
+            act=None if self.pre_act else self.act,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="pointwise",

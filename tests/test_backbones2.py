@@ -16,7 +16,9 @@ def _endpoints(bb, hw=64):
 def test_xception65_endpoints():
     bb = get_backbone("xception65", output_stride=32)
     eps = _endpoints(bb)
-    assert [e.shape[1] for e in eps] == [32, 16, 8, 4, 2]
+    # two os2 endpoints: after block1_conv1 and pre-block2 (reference
+    # xception_common.py:180-195)
+    assert [e.shape[1] for e in eps] == [32, 32, 16, 8, 4, 2]
     assert eps[-1].shape[-1] == 2048
 
 
@@ -30,14 +32,14 @@ def test_efficientnetb0_endpoints():
     bb = get_backbone("efficientnetb0", output_stride=32)
     eps = _endpoints(bb)
     assert [e.shape[1] for e in eps] == [32, 16, 8, 4, 2]
-    assert eps[-1].shape[-1] == 320
+    assert eps[-1].shape[-1] == 1280  # top_conv endpoint (reference :362-367)
 
 
 def test_efficientnetb2_width_scaling():
     bb = get_backbone("efficientnetb2", output_stride=16)
     eps = _endpoints(bb, hw=32)
     # b2 width 1.1: 320 -> 352; os16 keeps 32/16=2
-    assert eps[-1].shape[1:] == (2, 2, 352)
+    assert eps[-1].shape[1:] == (2, 2, 1408)  # top_conv = 1280 * width 1.1
 
 
 def test_fpn_pyramid():

@@ -16,8 +16,10 @@ def _endpoints(bb, hw=64, train=False):
 def test_convnext_tiny_endpoints():
     bb = get_backbone("convnext_tiny", output_stride=32)
     eps = _endpoints(bb)
-    assert [e.shape[1] for e in eps] == [16, 8, 4, 2]  # os 4/8/16/32
-    assert [e.shape[-1] for e in eps] == [96, 192, 384, 768]
+    # reference convnext.py:180: leading None placeholder (no os2 feature)
+    assert eps[0] is None
+    assert [e.shape[1] for e in eps[1:]] == [16, 8, 4, 2]  # os 4/8/16/32
+    assert [e.shape[-1] for e in eps[1:]] == [96, 192, 384, 768]
 
 
 def test_convnext_dilated_os16():

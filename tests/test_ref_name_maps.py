@@ -111,3 +111,26 @@ def test_resnet101_map_full_coverage():
 def test_mobilenetv2_map_full_coverage():
     run_family_check(
         "mobilenetv2", "mobilenetv2", weight_maps.keras_mobilenetv2_name_map)
+
+
+def test_swin_tiny_map_full_coverage():
+    run_family_check("swin_tiny", "swin_tiny_224", weight_maps.swin_name_map, hw=224)
+
+
+def test_convnext_tiny_map_full_coverage():
+    run_family_check("convnext_tiny", "convnext_tiny",
+                     weight_maps.convnext_name_map)
+
+
+def test_convnext_v2_tiny_map_full_coverage():
+    run_family_check("convnext_v2_tiny", "convnext_v2_tiny",
+                     weight_maps.convnext_name_map)
+
+
+def test_xception65_map_full_coverage():
+    run_family_check("xception65", "xception65", weight_maps.xception_name_map)
+
+
+def test_efficientnetb0_map_full_coverage():
+    run_family_check("efficientnetb0", "efficientnetb0",
+                     weight_maps.efficientnet_name_map)

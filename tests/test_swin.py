@@ -41,8 +41,9 @@ def test_swin_tiny_endpoints():
     bb = get_backbone("swin_tiny")
     variables = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     eps = bb.apply(variables, jnp.zeros((1, 64, 64, 3)))
-    assert [e.shape[1] for e in eps] == [16, 8, 4, 2]
-    assert [e.shape[-1] for e in eps] == [96, 192, 384, 768]
+    # first endpoint = patch embedding pre-blocks (reference swin.py:609)
+    assert [e.shape[1] for e in eps] == [16, 16, 8, 4, 2]
+    assert [e.shape[-1] for e in eps] == [96, 96, 192, 384, 768]
 
 
 def test_swin_handles_non_multiple_window_sizes():

@@ -186,4 +186,4 @@ def reference_forward(model, x):
     out = model(tf.constant(x), training=False)
     if not isinstance(out, (list, tuple)):
         out = [out]
-    return [np.asarray(o) for o in out]
+    return [None if o is None else np.asarray(o) for o in out]
