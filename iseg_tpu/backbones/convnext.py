@@ -37,7 +37,7 @@ class ConvNeXtBlock(nn.Module):
                          param_dtype=self.param_dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="pwconv1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         if self.use_grn:
             h = GlobalResponseNorm(param_dtype=self.param_dtype, name="grn")(h)
         h = nn.Dense(self.dim, dtype=self.dtype,

@@ -56,10 +56,16 @@ def apply_rope(x, sin, cos):
 
 
 class SwiGLU(nn.Module):
-    """SwiGLU MLP with sub-LN (reference ``eva/swiglu.py:13``)."""
+    """SwiGLU MLP (reference ``eva/swiglu.py:13``). With ``use_norm`` this is
+    the reference's scale_mlp=True SwiGLU (sub-LN before fc2); without it,
+    it computes the same function as the reference's fused-fc1 GluMlp
+    (``glumlp.py:94-112``, gate_last: ``x1 * swish(x2)`` — here
+    ``fc1_x = x1``, ``fc1_g = x2``, so published fused fc1 kernels split
+    column-wise onto (fc1_x, fc1_g))."""
 
     hidden_dim: int
     out_dim: int
+    use_norm: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -70,8 +76,9 @@ class SwiGLU(nn.Module):
         b = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1_x")(x)
         h = nn.silu(a) * b
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(h)
+        if self.use_norm:
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm")(h)
         return nn.Dense(self.out_dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="fc2")(h)
 
@@ -107,6 +114,9 @@ class EvaBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4 * 2 / 3  # SwiGLU convention
+    # reference block.py:100-117: scale_mlp=True -> SwiGLU with sub-LN
+    # (large variants); False -> GluMlp, no sub-LN (tiny/small)
+    scale_mlp: bool = True
     drop_path: float = 0.0
     num_prefix_tokens: int = 1
     dtype: Any = None
@@ -143,6 +153,7 @@ class EvaBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="norm2")(x)
         h = SwiGLU(hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
+                   use_norm=self.scale_mlp,
                    dtype=self.dtype, param_dtype=self.param_dtype, name="mlp")(h)
         return x + DropPath(self.drop_path, name="dp2")(h, deterministic=not train)
 
@@ -155,6 +166,7 @@ class Eva(nn.Module):
     drop_path_rate: float = 0.0
     patch_dropout_rate: float = 0.0
     pos_dropout_rate: float = 0.0  # reference eva.py:172-174,249
+    scale_mlp: bool = True  # False = GluMlp (tiny/small), reference eva.py:458
     pretrain_grid: int = 16
     return_endpoints: bool = True
     dtype: Any = None
@@ -226,6 +238,7 @@ class Eva(nn.Module):
         for i in range(self.depth):
             x = EvaBlock(
                 dim=self.dim, num_heads=self.num_heads,
+                scale_mlp=self.scale_mlp,
                 drop_path=self.drop_path_rate * i / max(1, self.depth - 1),
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block{i}",
@@ -243,31 +256,34 @@ class Eva(nn.Module):
 
 
 _VARIANTS = {
-    # name: (patch, dim, depth, heads, pretrain_grid)
-    "eva02_tiny": (14, 192, 12, 3, 24),
-    "eva02_small": (14, 384, 12, 6, 24),
-    "eva02_base": (14, 768, 12, 12, 16),
-    "eva02_large": (14, 1024, 24, 16, 16),
+    # name: (patch, dim, depth, heads, pretrain_grid, scale_mlp)
+    # scale_mlp False = fused-fc1 GluMlp without sub-LN (reference
+    # eva.py:446-458 tiny; large constructors :319-431 use scale_mlp=True)
+    "eva02_tiny": (14, 192, 12, 3, 24, False),
+    "eva02_small": (14, 384, 12, 6, 24, False),
+    "eva02_base": (14, 768, 12, 12, 16, True),
+    "eva02_large": (14, 1024, 24, 16, 16, True),
     # reference vocabulary (static_strings EVA02_*): named by patch size and
     # pretrain resolution
-    "eva02_tiny_patch14_336": (14, 192, 12, 3, 24),
-    "eva02_large_patch14_224": (14, 1024, 24, 16, 16),
-    "eva02_large_patch16_224": (16, 1024, 24, 16, 14),
-    "eva02_large_patch16_512_coco": (16, 1024, 24, 16, 32),
-    "eva02_large_patch16_512_mv": (16, 1024, 24, 16, 32),
+    "eva02_tiny_patch14_336": (14, 192, 12, 3, 24, False),
+    "eva02_large_patch14_224": (14, 1024, 24, 16, 16, True),
+    "eva02_large_patch16_224": (16, 1024, 24, 16, 14, True),
+    "eva02_large_patch16_512_coco": (16, 1024, 24, 16, 32, True),
+    "eva02_large_patch16_512_mv": (16, 1024, 24, 16, 32, True),
 }
 
 
-def _make_ctor(name, patch, dim, depth, heads, grid):
+def _make_ctor(name, patch, dim, depth, heads, grid, scale_mlp):
     def ctor(output_stride=16, return_endpoints=True, **kwargs):
         del output_stride
         return Eva(patch_size=patch, dim=dim, depth=depth, num_heads=heads,
-                   pretrain_grid=grid, return_endpoints=return_endpoints,
-                   **kwargs)
+                   pretrain_grid=grid, scale_mlp=scale_mlp,
+                   return_endpoints=return_endpoints, **kwargs)
 
     ctor.__name__ = name
     return ctor
 
 
-for _name, (_p, _dim, _depth, _heads, _grid) in _VARIANTS.items():
-    register_backbone(_name, _make_ctor(_name, _p, _dim, _depth, _heads, _grid))
+for _name, (_p, _dim, _depth, _heads, _grid, _sm) in _VARIANTS.items():
+    register_backbone(
+        _name, _make_ctor(_name, _p, _dim, _depth, _heads, _grid, _sm))

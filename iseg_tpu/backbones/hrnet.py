@@ -33,14 +33,20 @@ class FuseLayer(nn.Module):
     @nn.compact
     def __call__(self, branches, train: bool = False):
         common = dict(norm=self.norm, dtype=self.dtype, param_dtype=self.param_dtype)
-        outs = []
+        # The reference fuse (hrnet.py:289-307) REPLACES x_list[i] with the
+        # fused+relu output before computing branch i+1, so coarser outputs
+        # consume already-fused finer branches (unlike the original PyTorch
+        # HRNet). Mirror that sequential-mutation semantic exactly.
+        branches = list(branches)
         for i, out_ch in enumerate(self.out_channels):
             acc = None
             for j, b in enumerate(branches):
                 if j == i:
                     h = b
                 elif j < i:
-                    # downsample j -> i with strided 3x3 convs
+                    # downsample j -> i with strided 3x3 convs: inner steps
+                    # keep the source width + relu, last step projects to
+                    # out_ch with no relu (reference hrnet.py:231-238)
                     h = b
                     for k in range(i - j):
                         last = k == i - j - 1
@@ -51,14 +57,15 @@ class FuseLayer(nn.Module):
                             name=f"down{j}_{i}_{k}", **common,
                         )(h, train=train)
                 else:
-                    # upsample j -> i: 1x1 conv + bilinear
+                    # upsample j -> i: 1x1 conv + bilinear with
+                    # align_corners=True (reference hrnet.py:303)
                     h = ConvNormAct(filters=out_ch, kernel_size=1, act=None,
                                     name=f"up{j}_{i}", **common)(b, train=train)
                     h = resize_image(h, (branches[i].shape[1], branches[i].shape[2]),
-                                     "bilinear")
+                                     "bilinear", align_corners=True)
                 acc = h if acc is None else acc + h.astype(acc.dtype)
-            outs.append(nn.relu(acc))
-        return outs
+            branches[i] = nn.relu(acc)
+        return branches
 
 
 class HRModule(nn.Module):
@@ -76,7 +83,8 @@ class HRModule(nn.Module):
         for i, (b, ch) in enumerate(zip(branches, self.channels)):
             h = b
             for k in range(self.num_blocks):
-                h = BasicBlock(filters=ch, norm=self.norm, dtype=self.dtype,
+                h = BasicBlock(filters=ch, bn_epsilon=1e-3, norm=self.norm,
+                               dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name=f"branch{i}_block{k}")(h, train=train)
             outs.append(h)
@@ -107,7 +115,8 @@ class HRNet(nn.Module):
 
         # stage 1: 4 bottleneck blocks at os4
         for k in range(4):
-            x = BottleneckBlock(filters=64, norm=self.norm, dtype=self.dtype,
+            x = BottleneckBlock(filters=64, bn_epsilon=1e-3, norm=self.norm,
+                                dtype=self.dtype,
                                 param_dtype=self.param_dtype,
                                 name=f"stage1_block{k}")(x, train=train)
 
@@ -134,16 +143,20 @@ class HRNet(nn.Module):
                     )(branches[-1], train=train)
                 ]
 
-        if self.return_endpoints:
-            return branches  # os4, os8, os16, os32 (fine -> coarse)
-
-        # HRNetV2 head: upsample all to os4 and concat
+        # HRNetV2 head: upsample all to os4 (align_corners=True, reference
+        # hrnet.py:530) and concat
         target_hw = (branches[0].shape[1], branches[0].shape[2])
         ups = [branches[0]] + [
-            resize_image(b, target_hw, "bilinear").astype(branches[0].dtype)
+            resize_image(b, target_hw, "bilinear",
+                         align_corners=True).astype(branches[0].dtype)
             for b in branches[1:]
         ]
-        return jnp.concatenate(ups, axis=-1)
+        y = jnp.concatenate(ups, axis=-1)
+
+        if self.return_endpoints:
+            # reference hrnet.py:535-536: the four branches + the concat
+            return list(branches) + [y]
+        return y
 
 
 @register_backbone("hrnet_w32")

@@ -24,6 +24,9 @@ class InternImageBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     layer_scale: Optional[float] = None
+    # reference intern_image_layer.py:121-137: post-norm ordering (small
+    # variant) applies norm1/norm2 AFTER dcn/mlp instead of before
+    use_post_norm: bool = False
     dcn_sampling: str = "gather"
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -37,22 +40,33 @@ class InternImageBlock(nn.Module):
                                (self.dim,), self.param_dtype)
             return h * gamma
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm1")(x)
-        h = DCNv3(filters=self.dim, groups=self.groups,
-                  sampling=self.dcn_sampling, dtype=self.dtype,
-                  param_dtype=self.param_dtype, name="dcn")(h, train=train)
+        def norm(name):
+            return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name=name)
+
+        def mlp(h):
+            h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="mlp_fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            return nn.Dense(self.dim, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="mlp_fc2")(h)
+
+        dcn = DCNv3(filters=self.dim, groups=self.groups,
+                    sampling=self.dcn_sampling, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="dcn")
+
+        if self.use_post_norm:
+            h = norm("norm1")(dcn(x, train=train))
+        else:
+            h = dcn(norm("norm1")(x), train=train)
         x = x + DropPath(self.drop_path, name="dp1")(
             maybe_scale(h, "gamma1"), deterministic=not train
         )
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.dim, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="mlp_fc2")(h)
+        if self.use_post_norm:
+            h = norm("norm2")(mlp(x))
+        else:
+            h = mlp(norm("norm2")(x))
         return x + DropPath(self.drop_path, name="dp2")(
             maybe_scale(h, "gamma2"), deterministic=not train
         )
@@ -65,6 +79,7 @@ class InternImage(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.2
     layer_scale: Optional[float] = None
+    use_post_norm: bool = False
     # rematerialize blocks in backward (jax.checkpoint): the DCNv3 im2col
     # taps ([N,H,W,K*K,C] per group) dominate activation memory; remat
     # trades ~30% step time for fitting larger batches in HBM
@@ -85,7 +100,10 @@ class InternImage(nn.Module):
                     name="stem_conv1")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="stem_norm1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
+        # reference stem_layer.py:60-69 + intern_image.py:126: the os2
+        # feature after conv1/norm1/act is the first endpoint
+        endpoints.append(x)
         x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="SAME",
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="stem_conv2")(x)
@@ -101,8 +119,9 @@ class InternImage(nn.Module):
         for stage_idx, (depth, g) in enumerate(zip(self.depths, self.groups)):
             dim = self.channels * (2 ** stage_idx)
             if stage_idx > 0:
-                endpoints.append(x)
+                # reference dowmsample_layer.py: bias-free strided conv + LN
                 x = nn.Conv(dim, (3, 3), strides=(2, 2), padding="SAME",
+                            use_bias=False,
                             dtype=self.dtype, param_dtype=self.param_dtype,
                             name=f"downsample{stage_idx}")(x)
                 x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -113,38 +132,49 @@ class InternImage(nn.Module):
                     dim=dim, groups=g, mlp_ratio=self.mlp_ratio,
                     drop_path=self.drop_path_rate * block_idx / max(1, total - 1),
                     layer_scale=self.layer_scale,
+                    use_post_norm=self.use_post_norm,
                     dcn_sampling=self.dcn_sampling,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"stage{stage_idx}_block{i}",
                 )(x, train)
                 block_idx += 1
+            # trailing per-stage LN (reference intern_image_block.py:142-147
+            # — present unless the post-norm ordering already normed the
+            # last layer); endpoints are the normed pre-downsample features
+            if not self.use_post_norm:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name=f"stage{stage_idx}_norm")(x)
+            endpoints.append(x)
 
-        endpoints.append(x)
         if self.return_endpoints:
             return endpoints
         return x
 
 
 _VARIANTS = {
-    # name: (channels, depths, groups, layer_scale)
-    "intern_image_tiny": (64, (4, 4, 18, 4), (4, 8, 16, 32), None),
-    "intern_image_small": (80, (4, 4, 21, 4), (5, 10, 20, 40), 1e-5),
-    "intern_image_base": (112, (4, 4, 21, 4), (7, 14, 28, 56), 1e-5),
-    "intern_image_large": (160, (5, 5, 22, 5), (10, 20, 40, 80), 1e-5),
-    "intern_image_huge": (320, (6, 6, 32, 6), (10, 20, 40, 80), 1e-5),
+    # name: (channels, depths, groups, layer_scale, use_post_norm)
+    # reference constructors intern_image.py:137-183: tiny/small use
+    # layer_scale=1.0; small uses post-norm ordering; huge uses neither
+    "intern_image_tiny": (64, (4, 4, 18, 4), (4, 8, 16, 32), 1.0, False),
+    "intern_image_small": (80, (4, 4, 21, 4), (5, 10, 20, 40), 1.0, True),
+    "intern_image_base": (112, (4, 4, 21, 4), (7, 14, 28, 56), 1.0, True),
+    "intern_image_large": (160, (5, 5, 22, 5), (10, 20, 40, 80), 1.0, True),
+    "intern_image_huge": (320, (6, 6, 32, 6), (10, 20, 40, 80), None, False),
 }
 
 
-def _make_ctor(name, ch, depths, groups, ls):
+def _make_ctor(name, ch, depths, groups, ls, post_norm):
     def ctor(output_stride=32, return_endpoints=True, **kwargs):
         del output_stride
         return InternImage(channels=ch, depths=depths, groups=groups,
-                           layer_scale=ls, return_endpoints=return_endpoints,
+                           layer_scale=ls, use_post_norm=post_norm,
+                           return_endpoints=return_endpoints,
                            **kwargs)
 
     ctor.__name__ = name
     return ctor
 
 
-for _name, (_ch, _d, _g, _ls) in _VARIANTS.items():
-    register_backbone(_name, _make_ctor(_name, _ch, _d, _g, _ls))
+for _name, (_ch, _d, _g, _ls, _pn) in _VARIANTS.items():
+    register_backbone(_name, _make_ctor(_name, _ch, _d, _g, _ls, _pn))

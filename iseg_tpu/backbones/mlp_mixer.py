@@ -2,8 +2,13 @@
 
 Parity with the reference ``backbones/mlp_mixer.py`` (``MLPMixer`` :60):
 patch embed + N mixer blocks (token-mixing MLP over patches, channel-mixing
-MLP over features). Token-mixing MLPs fix the token count, so the input
-size is pinned by ``input_grid`` (the reference has the same constraint).
+MLP over features), keras-default LN epsilon (1e-3). Token-mixing MLPs fix
+the token count, so the input size is pinned (the reference has the same
+constraint). Note the reference's ``call`` (:84) reshapes ``inputs`` where
+it means the stem output — a transcription bug that leaves its stem conv
+unused; we implement the intended (published-weights) semantics, and the
+activation-parity test drives the reference's own submodules in that
+intended order.
 """
 
 from __future__ import annotations
@@ -25,21 +30,21 @@ class MixerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         # token mixing
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        h = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="norm1")(x)
         h = h.transpose(0, 2, 1)
         h = nn.Dense(self.tokens_dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="token_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(x.shape[1], dtype=self.dtype,
                      param_dtype=self.param_dtype, name="token_fc2")(h)
         x = x + h.transpose(0, 2, 1)
         # channel mixing
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        h = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="norm2")(x)
         h = nn.Dense(self.channels_dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="channel_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(x.shape[-1], dtype=self.dtype,
                      param_dtype=self.param_dtype, name="channel_fc2")(h)
         return x + h
@@ -69,7 +74,7 @@ class MLPMixer(nn.Module):
                 tokens_dim=self.tokens_mlp_dim, channels_dim=self.channels_mlp_dim,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block{i}",
             )(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        x = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="norm")(x)
         spatial = x.reshape(n, gh, gw, self.dim)
         if self.return_endpoints:

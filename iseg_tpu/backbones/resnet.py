@@ -29,6 +29,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     conv_shortcut: Optional[bool] = None
+    bn_epsilon: float = _BN_EPS  # keras-applications default; HRNet uses 1e-3
     norm: str = "sync_batch_norm"
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -39,12 +40,12 @@ class BasicBlock(nn.Module):
         h = ConvNormAct(
             filters=self.filters, kernel_size=3, strides=self.stride,
             dilation=self.dilation, norm=self.norm, act="relu",
-            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_epsilon=self.bn_epsilon, dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv1",
         )(x, train=train)
         h = ConvNormAct(
             filters=self.filters, kernel_size=3, dilation=self.dilation,
-            norm=self.norm, act=None, bn_epsilon=_BN_EPS,
+            norm=self.norm, act=None, bn_epsilon=self.bn_epsilon,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(h, train=train)
         use_conv_shortcut = self.conv_shortcut
@@ -54,7 +55,7 @@ class BasicBlock(nn.Module):
         if use_conv_shortcut:
             shortcut = ConvNormAct(
                 filters=self.filters, kernel_size=1, strides=self.stride,
-                norm=self.norm, act=None, bn_epsilon=_BN_EPS,
+                norm=self.norm, act=None, bn_epsilon=self.bn_epsilon,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="shortcut",
             )(shortcut, train=train)
         elif self.stride != 1:
@@ -75,6 +76,7 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     conv_shortcut: Optional[bool] = None
+    bn_epsilon: float = _BN_EPS  # keras-applications default; HRNet uses 1e-3
     norm: str = "sync_batch_norm"
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -89,24 +91,24 @@ class BottleneckBlock(nn.Module):
 
         h = ConvNormAct(
             filters=self.filters, kernel_size=1, norm=self.norm, act="relu",
-            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_epsilon=self.bn_epsilon, dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv1",
         )(x, train=train)
         h = ConvNormAct(
             filters=self.filters, kernel_size=3, strides=self.stride,
             dilation=self.dilation, norm=self.norm, act="relu",
-            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_epsilon=self.bn_epsilon, dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv2",
         )(h, train=train)
         h = ConvNormAct(
             filters=out_ch, kernel_size=1, norm=self.norm, act=None,
-            bn_epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype,
+            bn_epsilon=self.bn_epsilon, dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv3",
         )(h, train=train)
         if use_conv_shortcut:
             shortcut = ConvNormAct(
                 filters=out_ch, kernel_size=1, strides=self.stride,
-                norm=self.norm, act=None, bn_epsilon=_BN_EPS,
+                norm=self.norm, act=None, bn_epsilon=self.bn_epsilon,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="shortcut",
             )(shortcut, train=train)
         elif self.stride != 1:

@@ -165,7 +165,7 @@ class SwinBlock(nn.Module):
                             param_dtype=self.param_dtype, name="norm2")(x)
         hmlp = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                         param_dtype=self.param_dtype, name="mlp_fc1")(hmlp)
-        hmlp = nn.gelu(hmlp)
+        hmlp = nn.gelu(hmlp, approximate=False)
         hmlp = nn.Dense(self.dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="mlp_fc2")(hmlp)
         return x + DropPath(self.drop_path, name="dp2")(hmlp, deterministic=not train)

@@ -49,7 +49,7 @@ class TransformerBlock(nn.Module):
                          param_dtype=self.param_dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp_fc2")(h)
         return x + DropPath(self.drop_path, name="dp2")(h, deterministic=not train)
@@ -64,6 +64,10 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     use_class_token: bool = True
     pretrain_grid: int = 14  # 224/16: grid the pos-embed was trained at
+    # the reference VisionTransformer has NO final LayerNorm
+    # (``backbones/vit.py:279-320`` ends at the last block); default off for
+    # pretrained-weight parity, on only for from-scratch recipes that want it
+    use_final_norm: bool = False
     return_endpoints: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -102,8 +106,9 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block{i}",
             )(x, train=train)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
+        if self.use_final_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm")(x)
 
         spatial = x[:, prefix:].reshape(n, gh, gw, self.dim)
         if self.return_endpoints:

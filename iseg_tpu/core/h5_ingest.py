@@ -94,10 +94,12 @@ def normalize_weight_name(name: str) -> str:
     separators (reference ``h5_saver.py:96`` slash normalization)."""
     name = name.split(":")[0]
     parts = [p for p in name.split("/") if p]
-    # keras2 files repeat the layer name (layer/layer/kernel)
+    # keras2 files repeat the layer name (layer/layer/kernel); purely
+    # numeric repeats are real nesting (HRNet fuse chains: .../1/1/gamma),
+    # never a keras2 layer-name echo — keep those
     dedup = []
     for p in parts:
-        if not dedup or dedup[-1] != p:
+        if not dedup or dedup[-1] != p or p.isdigit():
             dedup.append(p)
     return "/".join(dedup)
 
@@ -159,6 +161,13 @@ def resolve_ref_name(target: str, canon_index: Mapping[str, str]) -> Optional[st
     extra root/group prefixes)."""
     if target in canon_index:
         return canon_index[target]
+    # exact match after dropping a single root (model-name) segment — an
+    # ambiguous tail suffix (e.g. HRNet's stem "conv1/kernel" vs
+    # "layer1/0/conv1/kernel") still resolves this way
+    root_stripped = [orig for canon, orig in canon_index.items()
+                     if "/" in canon and canon.split("/", 1)[1] == target]
+    if len(root_stripped) == 1:
+        return root_stripped[0]
     suffix = "/" + target
     hits = [orig for canon, orig in canon_index.items() if canon.endswith(suffix)]
     if len(hits) == 1:

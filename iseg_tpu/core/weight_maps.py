@@ -350,3 +350,411 @@ def swin_name_map(variables, backbone_prefix: str = "backbone") -> Mapping[str, 
             elif part in ("mlp_fc1", "mlp_fc2"):
                 mapping[path] = f"{base}/mlp/fc{part[-1]}/{leaf}"
     return mapping
+
+
+def _merge_qkv_heads(q, k, v):
+    """Three per-head kernels [C, H, D] -> one fused qkv kernel [C, 3C]."""
+    c = q.shape[0]
+    import numpy as np
+    return np.concatenate(
+        [q.reshape(c, -1), k.reshape(c, -1), v.reshape(c, -1)], axis=1)
+
+
+def _merge_qkv_biases(q, k, v):
+    import numpy as np
+    return np.concatenate([q.reshape(-1), k.reshape(-1), v.reshape(-1)])
+
+
+def _flatten_in_heads(w):
+    """Attention-output kernel [H, D, C] -> [C_in, C_out] = [H*D, C]."""
+    return w.reshape(-1, w.shape[-1])
+
+
+def _flatten_out_heads(w):
+    """Per-head kernel [C, H, D] -> [C, H*D]."""
+    return w.reshape(w.shape[0], -1)
+
+
+def vit_name_map(variables, backbone_prefix: str = "backbone") -> Mapping[str, object]:
+    """Map iseg_tpu ViT params to the reference's naming
+    (``backbones/vit.py``: ``class_token``/``pos_embed`` weights,
+    ``patch_embed/projection``, per-block ``layers.{i}/{ln1,attn,ln2,ffn}``
+    with keras MultiHeadAttention per-head query/key/value/attention_output
+    kernels)."""
+    mapping: dict[str, object] = {}
+    for path in _paths(variables):
+        segs = path.split("/")
+        if backbone_prefix not in segs:
+            continue
+        rel = segs[segs.index(backbone_prefix) + 1:]
+        leaf = rel[-1]
+        ln = _LEAF_TO_KERAS_LN.get(leaf, leaf)
+
+        if rel[0] == "cls_token":
+            mapping[path] = "class_token"
+        elif rel[0] == "pos_embed":
+            mapping[path] = "pos_embed"
+        elif rel[0] == "patch_embed":
+            mapping[path] = f"patch_embed/projection/{leaf}"
+        elif rel[0].startswith("block"):
+            i = int(rel[0][5:])
+            base = f"layers.{i}"
+            part = rel[1]
+            if part == "norm1":
+                mapping[path] = f"{base}/ln1/{ln}"
+            elif part == "norm2":
+                mapping[path] = f"{base}/ln2/{ln}"
+            elif part == "qkv":
+                names = tuple(f"{base}/attn/{p}/{leaf}"
+                              for p in ("query", "key", "value"))
+                merge = (_merge_qkv_heads if leaf == "kernel"
+                         else _merge_qkv_biases)
+                mapping[path] = (names, merge)
+            elif part == "proj":
+                if leaf == "kernel":
+                    mapping[path] = (f"{base}/attn/attention_output/kernel",
+                                     _flatten_in_heads)
+                else:
+                    mapping[path] = f"{base}/attn/attention_output/bias"
+            elif part in ("mlp_fc1", "mlp_fc2"):
+                d = int(part[-1]) - 1
+                mapping[path] = f"{base}/ffn/dense{d}/{leaf}"
+    return mapping
+
+
+def mlp_mixer_name_map(variables, backbone_prefix: str = "backbone") -> Mapping[str, object]:
+    """Map iseg_tpu MLP-Mixer params to the reference's naming
+    (``backbones/mlp_mixer.py``: ``stem``, per-block ``mixer_block(_{i})``
+    containers with globally-countered ``layer_normalization(_{n})`` names,
+    ``token_mixing``/``channel_mixing`` dense0/dense1, and the final
+    ``pre_head_layer_norm``)."""
+    mapping: dict[str, object] = {}
+    for path in _paths(variables):
+        segs = path.split("/")
+        if backbone_prefix not in segs:
+            continue
+        rel = segs[segs.index(backbone_prefix) + 1:]
+        leaf = rel[-1]
+        ln = _LEAF_TO_KERAS_LN.get(leaf, leaf)
+
+        if rel[0] == "patch_embed":
+            mapping[path] = f"stem/{leaf}"
+        elif rel[0] == "norm":
+            mapping[path] = f"pre_head_layer_norm/{ln}"
+        elif rel[0].startswith("block"):
+            i = int(rel[0][5:])
+            blk = "mixer_block" if i == 0 else f"mixer_block_{i}"
+            part = rel[1]
+            if part in ("norm1", "norm2"):
+                n = 2 * i + (0 if part == "norm1" else 1)
+                ln_name = ("layer_normalization" if n == 0
+                           else f"layer_normalization_{n}")
+                mapping[path] = f"{blk}/{ln_name}/{ln}"
+            elif part in ("token_fc1", "token_fc2"):
+                d = int(part[-1]) - 1
+                mapping[path] = f"{blk}/token_mixing/dense{d}/{leaf}"
+            elif part in ("channel_fc1", "channel_fc2"):
+                d = int(part[-1]) - 1
+                mapping[path] = f"{blk}/channel_mixing/dense{d}/{leaf}"
+    return mapping
+
+
+def _slice_cols(lo, hi):
+    def f(w):
+        return w[:, lo:hi]
+    return f
+
+
+def eva_name_map(variables, backbone_prefix: str = "backbone") -> Mapping[str, object]:
+    """Map iseg_tpu EVA02 params to the reference's naming
+    (``backbones/eva/``: ``class_token``/``pos_embed``,
+    ``patch_embed/projection``, per-block ``blocks.{i}`` with fused
+    ``attn/qkv`` laid out [3, heads, dim] on the output axis
+    (``attention.py:124``) and explicit ``q_bias``/``v_bias``; the
+    tiny/small GluMlp fuses fc1 as [x | gate] columns
+    (``glumlp.py:101-105``, gate_last), large SwiGLU keeps fc1_g/fc1_x/norm
+    separate)."""
+    mapping: dict[str, object] = {}
+    paths = _paths(variables)
+    for path in paths:
+        segs = path.split("/")
+        if backbone_prefix not in segs:
+            continue
+        rel = segs[segs.index(backbone_prefix) + 1:]
+        leaf = rel[-1]
+        ln = _LEAF_TO_KERAS_LN.get(leaf, leaf)
+
+        if rel[0] == "cls_token":
+            mapping[path] = "class_token"
+        elif rel[0] == "pos_embed":
+            mapping[path] = "pos_embed"
+        elif rel[0] == "patch_embed":
+            mapping[path] = f"patch_embed/projection/{leaf}"
+        elif rel[0].startswith("block"):
+            i = int(rel[0][5:])
+            base = f"blocks.{i}"
+            part = rel[1]
+            if part in ("norm1", "norm2"):
+                mapping[path] = f"{base}/{part}/{ln}"
+            elif part in ("q_proj", "k_proj", "v_proj"):
+                which = part[0]
+                if leaf == "kernel":
+                    idx = {"q": 0, "k": 1, "v": 2}[which]
+                    def make_slice(idx):
+                        def f(w):
+                            c = w.shape[0]
+                            return w[:, idx * c:(idx + 1) * c]
+                        return f
+                    mapping[path] = (f"{base}/attn/qkv/kernel", make_slice(idx))
+                else:
+                    mapping[path] = f"{base}/attn/{which}_bias"
+            elif part == "proj":
+                mapping[path] = f"{base}/attn/proj/{leaf}"
+            elif part == "mlp":
+                sub = rel[2]
+                if sub == "norm":
+                    mapping[path] = f"{base}/mlp/norm/{ln}"
+                elif sub == "fc2":
+                    mapping[path] = f"{base}/mlp/fc2/{leaf}"
+                elif sub in ("fc1_g", "fc1_x"):
+                    # SwiGLU variants store fc1_g/fc1_x separately; GluMlp
+                    # variants store one fused fc1 = [x | gate] — prefer the
+                    # separate name, fall back to a fused-slice spec.
+                    # We emit the fused spec only when the model has no
+                    # mlp/norm (GluMlp structure).
+                    has_norm = any(
+                        p.endswith(f"{rel[0]}/mlp/norm/scale") for p in paths)
+                    if has_norm:
+                        mapping[path] = f"{base}/mlp/{sub}/{leaf}"
+                    else:
+                        half = 0 if sub == "fc1_x" else 1
+                        if leaf == "kernel":
+                            def make_half(half):
+                                def f(w):
+                                    h = w.shape[1] // 2
+                                    return w[:, half * h:(half + 1) * h]
+                                return f
+                        else:
+                            def make_half(half):
+                                def f(w):
+                                    h = w.shape[0] // 2
+                                    return w[half * h:(half + 1) * h]
+                                return f
+                        mapping[path] = (f"{base}/mlp/fc1/{leaf}",
+                                         make_half(half))
+    return mapping
+
+
+def hrnet_name_map(variables, backbone_prefix: str = "backbone") -> Mapping[str, object]:
+    """Map iseg_tpu HRNet params to the reference's naming
+    (``backbones/hrnet.py``: stem ``conv1/bn1``+``conv2/bn2``, bottleneck
+    ``layer1/{b}`` with ``downsample/{0,1}`` shortcut, per-stage
+    ``stage{s}/transition/{t}`` (new branches nested ``/{t}/0/{0,1}``),
+    modules ``stage{s}/{m}/branches.{i}/{k}/conv{1,2}+bn{1,2}`` and
+    ``fuse_layers/{i}.{j}`` — up: ``/{0,1}``, down chains:
+    ``/{step}/{0,1}``)."""
+    mapping: dict[str, object] = {}
+    for path in _paths(variables):
+        segs = path.split("/")
+        if backbone_prefix not in segs:
+            continue
+        rel = segs[segs.index(backbone_prefix) + 1:]
+        leaf = rel[-1]
+
+        def conv_or_bn(conv_name, bn_name, kind):
+            if kind == "conv":
+                return f"{conv_name}/{_LEAF_TO_KERAS_CONV.get(leaf)}"
+            return f"{bn_name}/{_LEAF_TO_KERAS_BN.get(leaf)}"
+
+        mod = rel[0]
+        if mod in ("stem0", "stem1"):
+            n = 1 if mod == "stem0" else 2
+            mapping[path] = conv_or_bn(f"conv{n}", f"bn{n}", rel[1])
+        elif mod.startswith("stage1_block"):
+            b = int(mod.split("block")[1])
+            part = rel[1]
+            if part == "shortcut":
+                mapping[path] = conv_or_bn(
+                    f"layer1/{b}/downsample/0", f"layer1/{b}/downsample/1",
+                    rel[2])
+            else:  # conv1|conv2|conv3
+                n = part[-1]
+                mapping[path] = conv_or_bn(
+                    f"layer1/{b}/conv{n}", f"layer1/{b}/bn{n}", rel[2])
+        elif mod.startswith("transition"):
+            # transition{prev_stage}_{branch} -> stage{prev+1}/transition/...
+            s, t = mod[len("transition"):].split("_")
+            s, t = int(s), int(t)
+            base = f"stage{s + 1}/transition/{t}"
+            if t == 0:
+                # existing-branch conv (only stage2 has one)
+                mapping[path] = conv_or_bn(f"{base}/0", f"{base}/1", rel[1])
+            else:
+                # new coarsest branch: nested one-step sequence
+                mapping[path] = conv_or_bn(f"{base}/0/0", f"{base}/0/1", rel[1])
+        elif mod.startswith("stage"):
+            s = int(mod[5:mod.index("_")])
+            m = int(mod.split("module")[1])
+            base = f"stage{s}/{m}"
+            part = rel[1]
+            if part.startswith("branch"):
+                i = int(part[6:part.index("_")])
+                k = int(part.split("block")[1])
+                n = rel[2][-1]  # conv1|conv2
+                mapping[path] = conv_or_bn(
+                    f"{base}/branches.{i}/{k}/conv{n}",
+                    f"{base}/branches.{i}/{k}/bn{n}", rel[3])
+            elif part == "fuse":
+                sub = rel[2]
+                if sub.startswith("up"):
+                    j, i = (int(v) for v in sub[2:].split("_"))
+                    fbase = f"{base}/fuse_layers/{i}.{j}"
+                    mapping[path] = conv_or_bn(f"{fbase}/0", f"{fbase}/1",
+                                               rel[3])
+                else:  # down{j}_{i}_{k}
+                    j, i, k = (int(v) for v in sub[4:].split("_"))
+                    fbase = f"{base}/fuse_layers/{i}.{j}/{k}"
+                    mapping[path] = conv_or_bn(f"{fbase}/0", f"{fbase}/1",
+                                               rel[3])
+    return mapping
+
+
+def intern_image_name_map(variables, backbone_prefix: str = "backbone") -> Mapping[str, object]:
+    """Map iseg_tpu InternImage params to the reference's naming
+    (``backbones/intern_image/``: ``patch_embed/conv{1,2}+norm{1,2}``,
+    per-stage ``block.{s}`` containing ``layer.{i}`` blocks
+    (norm1/norm2/gamma1/gamma2, ``dcn/{dw_conv,dw_conv_norm,offset,mask,
+    input_proj,output_proj}``, ``mlp/fc{1,2}``), trailing ``block.{s}/norm``
+    and ``block.{s}/downsample``)."""
+    mapping: dict[str, object] = {}
+    for path in _paths(variables):
+        segs = path.split("/")
+        if backbone_prefix not in segs:
+            continue
+        rel = segs[segs.index(backbone_prefix) + 1:]
+        leaf = rel[-1]
+        ln = _LEAF_TO_KERAS_LN.get(leaf, leaf)
+
+        mod = rel[0]
+        if mod.startswith("stem_conv"):
+            n = mod[-1]
+            mapping[path] = f"patch_embed/conv{n}/{leaf}"
+        elif mod.startswith("stem_norm"):
+            n = mod[-1]
+            mapping[path] = f"patch_embed/norm{n}/{ln}"
+        elif mod.startswith("downsample_norm"):
+            s = int(mod[len("downsample_norm"):]) - 1
+            mapping[path] = f"block.{s}/downsample/norm/{ln}"
+        elif mod.startswith("downsample"):
+            s = int(mod[len("downsample"):]) - 1
+            mapping[path] = f"block.{s}/downsample/conv/{leaf}"
+        elif mod.endswith("_norm") and mod.startswith("stage"):
+            s = int(mod[5:mod.index("_")])
+            mapping[path] = f"block.{s}/norm/{ln}"
+        elif mod.startswith("stage"):
+            s = int(mod[5:mod.index("_")])
+            i = int(mod.split("block")[1])
+            base = f"block.{s}/layer.{i}"
+            part = rel[1]
+            if part in ("norm1", "norm2"):
+                mapping[path] = f"{base}/{part}/{ln}"
+            elif part in ("gamma1", "gamma2"):
+                mapping[path] = f"{base}/{part}"
+            elif part in ("mlp_fc1", "mlp_fc2"):
+                mapping[path] = f"{base}/mlp/fc{part[-1]}/{leaf}"
+            elif part == "dcn":
+                sub = rel[2]
+                ref_sub = {
+                    "dw_conv": "dw_conv",
+                    "offset_norm": "dw_conv_norm",
+                    "offset_head": "offset",
+                    "mask_head": "mask",
+                    "value_proj": "input_proj",
+                    "output_proj": "output_proj",
+                }.get(sub)
+                if ref_sub is None:
+                    continue
+                if sub == "offset_norm":
+                    mapping[path] = f"{base}/dcn/{ref_sub}/{ln}"
+                elif sub == "dw_conv" and leaf == "kernel":
+                    mapping[path] = (f"{base}/dcn/dw_conv/kernel",
+                                     depthwise_to_flax)
+                else:
+                    mapping[path] = f"{base}/dcn/{ref_sub}/{leaf}"
+    return mapping
+
+
+def moat_name_map(variables, backbone_prefix: str = "backbone") -> Mapping[str, object]:
+    """Map iseg_tpu MOAT params to the reference's naming
+    (``backbones/moat/``: ``stem/conv_{i}``+``norm_{i}``,
+    ``block_{ss}_{bb}/{shortcut_conv,pre_norm,expand_conv,expand_norm,
+    depthwise_conv,depthwise_norm,se.reduce_conv2d,se.expand_conv2d,
+    shrink_conv,attention_norm,attention.{q,k,v,o}}`` with per-head
+    TrailDense weights [C, H, D] / output [H, D, C]
+    (``attention.py:123-214``))."""
+    mapping: dict[str, object] = {}
+    for path in _paths(variables):
+        segs = path.split("/")
+        if backbone_prefix not in segs:
+            continue
+        rel = segs[segs.index(backbone_prefix) + 1:]
+        leaf = rel[-1]
+        ln = _LEAF_TO_KERAS_LN.get(leaf, leaf)
+
+        def bn(name):
+            return f"{name}/{_LEAF_TO_KERAS_BN.get(leaf)}"
+
+        mod = rel[0]
+        if mod.startswith("stem"):
+            i = int(mod[4:mod.index("_")])
+            if mod.endswith("_conv"):
+                mapping[path] = f"stem/conv_{i}/{leaf}"
+            else:
+                mapping[path] = bn(f"stem/norm_{i}")
+            continue
+        if not mod.startswith("stage"):
+            continue
+        s = int(mod[5:mod.index("_")])
+        b = int(mod.split("block")[1])
+        base = f"block_{s:02d}_{b:02d}"
+        part = rel[1]
+        if part == "shortcut":
+            mapping[path] = f"{base}/shortcut_conv/{leaf}"
+        elif part == "pre_norm":
+            mapping[path] = bn(f"{base}/pre_norm")
+        elif part == "expand_conv":
+            mapping[path] = f"{base}/expand_conv/{leaf}"
+        elif part == "expand_norm":
+            mapping[path] = bn(f"{base}/expand_norm")
+        elif part == "depthwise_conv":
+            mapping[path] = (f"{base}/depthwise_conv/kernel",
+                             depthwise_to_flax)
+        elif part == "depthwise_norm":
+            mapping[path] = bn(f"{base}/depthwise_norm")
+        elif part == "se":
+            sub = "reduce_conv2d" if rel[2] == "reduce" else "expand_conv2d"
+            mapping[path] = f"{base}/se/{sub}/{leaf}"
+        elif part == "shrink_conv":
+            mapping[path] = f"{base}/shrink_conv/{leaf}"
+        elif part == "attn_norm":
+            mapping[path] = f"{base}/attention_norm/{ln}"
+        elif part == "attn":
+            sub = rel[2]  # q_proj|k_proj|v_proj|o_proj|rel_pos_embed
+            if sub == "rel_pos_embed":
+                mapping[path] = f"{base}/attention/relative_position_embedding"
+                continue
+            which = sub[0]
+            if which in ("q", "k", "v"):
+                if leaf == "kernel":
+                    mapping[path] = (f"{base}/attention/{which}/weight",
+                                     _flatten_out_heads)
+                else:
+                    mapping[path] = (f"{base}/attention/{which}/bias",
+                                     lambda w: w.reshape(-1))
+            else:  # o
+                if leaf == "kernel":
+                    mapping[path] = (f"{base}/attention/o/weight",
+                                     _flatten_in_heads)
+                else:
+                    mapping[path] = f"{base}/attention/o/bias"
+    return mapping

@@ -23,7 +23,9 @@ def _resolve_act(act: Activation) -> Optional[Callable]:
     table = {
         "relu": nn.relu,
         "relu6": lambda x: jnp.minimum(nn.relu(x), 6.0),
-        "gelu": nn.gelu,
+        # keras/tf gelu defaults to the exact erf form (the reference's
+        # activations are keras-default); flax defaults to tanh-approx
+        "gelu": lambda x: nn.gelu(x, approximate=False),
         "silu": nn.silu,
         "swish": nn.silu,
         "sigmoid": nn.sigmoid,

@@ -97,9 +97,15 @@ class DCNv3(nn.Module):
     stride: int = 1
     dilation: int = 1
     offset_scale: float = 1.0
-    # "gather": exact, unbounded offsets (XLA gather — slow on TPU).
-    # "dense_local": gather-free fast path; offsets clamped to
-    # +-max_local_offset px (exact vs gather whenever offsets stay in range)
+    # "gather": reference-exact sampling (layers/dcn_v3/op.py:16 semantics
+    #   incl. its half-pixel base grid and (dim-2) scaling — what published
+    #   reference InternImage weights were trained with). Unbounded offsets,
+    #   XLA gather.
+    # "gather_centered": clean centered DCN sampling (tap centers at
+    #   integer pixels, zero outside) — the TPU-native from-scratch choice.
+    # "dense_local": gather-free fast path of the centered semantics;
+    #   offsets clamped to +-max_local_offset px (exact vs gather_centered
+    #   whenever offsets stay in range).
     sampling: str = "gather"
     max_local_offset: int = 2
     dtype: Any = None
@@ -128,7 +134,7 @@ class DCNv3(nn.Module):
         )(x)
         feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="offset_norm")(feat)
-        feat = nn.gelu(feat)
+        feat = nn.gelu(feat, approximate=False)
         offsets = nn.Dense(2 * g * kk, kernel_init=nn.initializers.zeros_init(),
                            dtype=self.dtype, param_dtype=self.param_dtype,
                            name="offset_head")(feat)
@@ -137,7 +143,7 @@ class DCNv3(nn.Module):
                          name="mask_head")(feat)
 
         ho, wo = offsets.shape[1], offsets.shape[2]
-        offsets = offsets.reshape(n, ho, wo, g, kk, 2) * self.offset_scale
+        offsets = offsets.reshape(n, ho, wo, g, kk, 2)
         # softmax over the K*K taps per group (reference dcn_v3 semantics)
         modul = jax.nn.softmax(
             modul.reshape(n, ho, wo, g, kk).astype(jnp.float32), axis=-1
@@ -156,15 +162,25 @@ class DCNv3(nn.Module):
             from iseg_tpu.ops.deform import deform_dense_local
 
             out = deform_dense_local(
-                vg, off_b, mod_b, kernel_size=k,
+                vg, off_b * self.offset_scale, mod_b, kernel_size=k,
                 max_offset=self.max_local_offset,
             )  # [N*G, Ho, Wo, gc]
-        else:
+        elif self.sampling == "gather_centered":
             taps = deform_im2col(
-                vg, off_b, kernel_size=k, stride=self.stride,
-                dilation=self.dilation,
+                vg, off_b * self.offset_scale, kernel_size=k,
+                stride=self.stride, dilation=self.dilation,
             )  # [N*G, Ho, Wo, K*K, gc]
             out = jnp.einsum("bhwtc,bhwt->bhwc", taps, mod_b)
+        else:
+            # reference-exact sampling pipeline (layers/dcn_v3/op.py:16) —
+            # the semantics published InternImage-reference weights were
+            # trained with
+            from iseg_tpu.ops.deform import dcnv3_sample_ref
+
+            out = dcnv3_sample_ref(
+                vg, off_b, mod_b, kernel_size=k, stride=self.stride,
+                dilation=self.dilation, offset_scale=self.offset_scale,
+            )  # [N*G, Ho, Wo, gc]
         out = out.reshape(n, g, ho, wo, gc).transpose(0, 2, 3, 1, 4)
         out = out.reshape(n, ho, wo, g * gc)  # [N, Ho, Wo, filters]
 

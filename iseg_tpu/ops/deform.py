@@ -211,3 +211,94 @@ def deform_im2col(
 
     sampled = bilinear_gather(x, coords.reshape(n, ho * wo * k * k, 2))
     return sampled.reshape(n, ho, wo, k * k, c)
+
+
+def dcnv3_sample_ref(
+    x: jax.Array,
+    offsets: jax.Array,
+    mask: jax.Array,
+    kernel_size: int = 3,
+    stride: int = 1,
+    dilation: int = 1,
+    offset_scale: float = 1.0,
+) -> jax.Array:
+    """Reference-exact DCNv3 sampling (``layers/dcn_v3/op.py:16`` +
+    ``utils.py:14,65,110``), vectorized over all taps in one gather set.
+
+    The reference pipeline has several load-bearing quirks that published
+    reference checkpoints were trained with, reproduced here exactly:
+    SAME-pads the input by ``dilation*(k-1)//2`` and normalizes every
+    coordinate by the PADDED dims; builds reference points in (y, x) order
+    but tap-grid/offset pairs in (x, y) order, so pair[0] mixes the row
+    reference with column tap offsets; maps normalized coords to pixels
+    with a ``(dim-2)`` scale (``utils.py:142-143``); and clips the four
+    corner indices BEFORE computing interpolation deltas (border-replicate
+    into the zero padding, ``utils.py:151-166``).
+
+    Args:
+      x: [B, H, W, C] grouped values (groups folded into B).
+      offsets: [B, Ho, Wo, P, 2] raw offset-head outputs (pair layout as
+        stored, i.e. (off0, off1) in the reference's mixed convention).
+      mask: [B, Ho, Wo, P] softmaxed modulation.
+    Returns: [B, Ho, Wo, C].
+    """
+    b, h, w, c = x.shape
+    k = kernel_size
+    p_total = k * k
+    pad_h = pad_w = (dilation * (k - 1)) // 2
+    xp = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+    hp, wp = h + 2 * pad_h, w + 2 * pad_w
+    ho = (hp - (dilation * (k - 1) + 1)) // stride + 1
+    wo = (wp - (dilation * (k - 1) + 1)) // stride + 1
+
+    f32 = jnp.float32
+    start = (dilation * (k - 1)) // 2 + 0.5
+    ref0 = (start + jnp.arange(ho, dtype=f32) * stride) / hp  # rows / Hp
+    ref1 = (start + jnp.arange(wo, dtype=f32) * stride) / wp  # cols / Wp
+
+    # tap grid, x-major flatten (reference generate_dilation_grids:
+    # meshgrid(xs, ys, indexing='ij') -> p = a*k + b with dx=xs[a], dy=ys[b])
+    base = -((dilation * (k - 1)) // 2)
+    taps = base + jnp.arange(k, dtype=f32) * dilation
+    dx_p = jnp.repeat(taps, k) / wp  # [P]
+    dy_p = jnp.tile(taps, k) / hp    # [P]
+
+    off0 = offsets[..., 0].astype(f32)  # [B, Ho, Wo, P]
+    off1 = offsets[..., 1].astype(f32)
+    loc0 = (ref0[None, :, None, None] + dx_p * offset_scale
+            + off0 * offset_scale / wp)
+    loc1 = (ref1[None, None, :, None] + dy_p * offset_scale
+            + off1 * offset_scale / hp)
+
+    x_pix = loc0 * (wp - 2)
+    y_pix = loc1 * (hp - 2)
+
+    x0 = jnp.floor(x_pix)
+    y0 = jnp.floor(y_pix)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, wp - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, wp - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, hp - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, hp - 1)
+
+    # deltas from the CLIPPED corners (reference utils.py:158-172)
+    dx0 = x_pix - x0i.astype(f32)
+    dx1 = x1i.astype(f32) - x_pix
+    dy0 = y_pix - y0i.astype(f32)
+    dy1 = y1i.astype(f32) - y_pix
+
+    flat = xp.reshape(b, hp * wp, c)
+    m = mask.astype(f32)
+
+    def corner(yi, xi, wgt):
+        idx = (yi * wp + xi).reshape(b, -1)  # [B, Ho*Wo*P]
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(b, ho, wo, p_total, c)
+        return vals * (wgt * m)[..., None].astype(x.dtype)
+
+    out = (
+        corner(y0i, x0i, dx1 * dy1)
+        + corner(y1i, x0i, dx1 * dy0)
+        + corner(y0i, x1i, dx0 * dy1)
+        + corner(y1i, x1i, dx0 * dy0)
+    )
+    return out.sum(axis=3)

@@ -24,11 +24,47 @@ def _normalize_size(size) -> tuple[int, int]:
     return (int(h), int(w))
 
 
+def _align_corners_matrix(out_len: int, in_len: int, dtype) -> jax.Array:
+    """[out, in] linear-interpolation matrix with TF-v1 align_corners
+    semantics (src = i * (in-1)/(out-1)). Host-precomputed; the resize
+    becomes two small matmuls, which XLA tiles onto the MXU."""
+    import numpy as np
+
+    if out_len == 1 or in_len == 1:
+        w = np.zeros((out_len, in_len), np.float32)
+        w[:, 0] = 1.0
+        return jnp.asarray(w, dtype)
+    src = np.arange(out_len) * (in_len - 1) / (out_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_len - 1)
+    frac = (src - lo).astype(np.float32)
+    w = np.zeros((out_len, in_len), np.float32)
+    w[np.arange(out_len), lo] += 1.0 - frac
+    w[np.arange(out_len), hi] += frac
+    return jnp.asarray(w, dtype)
+
+
+def resize_bilinear_align_corners(x: jax.Array, size: Sequence[int] | int) -> jax.Array:
+    """Bilinear NHWC resize with ``tf.compat.v1.image.resize(...,
+    align_corners=True)`` semantics (the reference HRNet fuse/head path,
+    ``backbones/hrnet.py:303,530``). Separable: one matmul per axis."""
+    h, w = _normalize_size(size)
+    if x.shape[1] == h and x.shape[2] == w:
+        return x
+    ct = jnp.float32 if x.dtype == jnp.float64 else x.dtype
+    wh = _align_corners_matrix(h, x.shape[1], ct)
+    ww = _align_corners_matrix(w, x.shape[2], ct)
+    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(ct))
+    y = jnp.einsum("pw,nowc->nopc", ww, y)
+    return y.astype(x.dtype)
+
+
 def resize_image(
     x: jax.Array,
     size: Sequence[int] | int,
     method: str = "bilinear",
     antialias: bool = False,
+    align_corners: bool = False,
 ) -> jax.Array:
     """Resize NHWC (or HWC) images to ``size=(H, W)``.
 
@@ -47,6 +83,8 @@ def resize_image(
     n, _, _, c = x.shape
     if jnp.issubdtype(x.dtype, jnp.integer) or method == "nearest":
         out = jax.image.resize(x, (n, h, w, c), method="nearest")
+    elif align_corners and method == "bilinear":
+        out = resize_bilinear_align_corners(x, (h, w))
     else:
         out = jax.image.resize(x, (n, h, w, c), method=method, antialias=antialias)
         out = out.astype(x.dtype)
@@ -111,7 +149,10 @@ def resample_abs_pos_embed(
     c = grid.shape[-1]
     grid = grid.reshape(1, oh, ow, c)
     orig_dtype = grid.dtype
-    grid = jax.image.resize(grid.astype(jnp.float32), (1, nh, nw, c), method=method)
+    # antialias=False matches tf.image.resize's default (the reference's
+    # resize_pos_embed, ``backbones/vit.py:19-64``) when downsampling
+    grid = jax.image.resize(grid.astype(jnp.float32), (1, nh, nw, c),
+                            method=method, antialias=False)
     grid = grid.reshape(1, nh * nw, c).astype(orig_dtype)
     if prefix is not None:
         grid = jnp.concatenate([prefix, grid], axis=1)

@@ -138,3 +138,59 @@ def test_xception65_parity_os16_dilated():
 def test_efficientnetb0_parity():
     _run_parity("efficientnetb0", "efficientnetb0",
                 weight_maps.efficientnet_name_map, size=64)
+
+
+def test_hrnet_w48_parity():
+    _run_parity("hrnet_w48", "hrnet_w48", weight_maps.hrnet_name_map,
+                size=64)
+
+
+def test_vit_base_parity():
+    # 384 = the pretrain size (grid 24): no pos-embed resample on either side
+    _run_parity("vit_base", "vit_base_patch16", weight_maps.vit_name_map,
+                size=384)
+
+
+def test_vit_base_parity_resampled_pos():
+    # 224 -> grid 14: exercises the bicubic pos-embed resample path
+    _run_parity("vit_base", "vit_base_patch16", weight_maps.vit_name_map,
+                size=224)
+
+
+def test_mlp_mixer_b16_parity():
+    # The reference MLPMixer.call (mlp_mixer.py:84) reshapes ``inputs``
+    # where it means the stem output — its stem conv is dead code. Drive
+    # the reference's own submodules in the intended order (stem -> tokens
+    # -> blocks -> pre-head LN, the semantics the published Mixer weights
+    # were trained with) and compare against our full forward.
+    model = ref_compat.build_reference_mixer("b16")
+    _randomize(model)
+    weights = ref_compat.extract_weights(model)
+    x = _seeded_input(224)
+
+    h = model.stem(tf.constant(x))
+    n, gh, gw, c = h.shape
+    h = tf.reshape(h, [n, gh * gw, c])
+    for block in model.blocks:
+        h = block(h, training=False)
+    h = model.pre_head_layer_norm(h, training=False)
+    ref_eps = [np.asarray(h).reshape(n, gh, gw, c)]
+
+    my_eps, report = _my_forward(
+        "mlp_mixer_b16", weights, weight_maps.mlp_mixer_name_map, x)
+    assert not report["missing"], report["missing"][:6]
+    _compare(ref_eps, my_eps, "mlp_mixer_b16")
+
+
+def test_eva02_tiny_parity():
+    _run_parity("eva02_tiny", "eva02_tiny",
+                weight_maps.eva_name_map, size=336)
+
+
+def test_intern_image_tiny_parity():
+    _run_parity("intern_image_tiny", "intern_image_tiny",
+                weight_maps.intern_image_name_map, size=64)
+
+
+def test_moat0_parity():
+    _run_parity("moat0", "moat0", weight_maps.moat_name_map, size=64)

@@ -40,8 +40,9 @@ def test_convnext_v2_has_grn_no_layerscale():
 def test_hrnet_endpoints_and_concat():
     bb = get_backbone("hrnet_w32")
     eps = _endpoints(bb, hw=64)
-    assert [e.shape[1] for e in eps] == [16, 8, 4, 2]  # os4..os32
-    assert [e.shape[-1] for e in eps] == [32, 64, 128, 256]
+    # reference hrnet.py:535-536: 4 branches + the os4 concat
+    assert [e.shape[1] for e in eps] == [16, 8, 4, 2, 16]
+    assert [e.shape[-1] for e in eps] == [32, 64, 128, 256, 32 + 64 + 128 + 256]
 
     bb2 = get_backbone("hrnet_w32", return_endpoints=False)
     variables = bb2.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))

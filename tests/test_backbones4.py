@@ -22,8 +22,9 @@ def test_intern_image_tiny():
     bb = get_backbone("intern_image_tiny")
     variables = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     eps = bb.apply(variables, jnp.zeros((1, 64, 64, 3)))
-    assert [e.shape[1] for e in eps] == [16, 8, 4, 2]
-    assert [e.shape[-1] for e in eps] == [64, 128, 256, 512]
+    # reference intern_image.py:126-130: os2 stem tap + 4 stage endpoints
+    assert [e.shape[1] for e in eps] == [32, 16, 8, 4, 2]
+    assert [e.shape[-1] for e in eps] == [32, 64, 128, 256, 512]
     assert np.isfinite(np.asarray(eps[-1])).all()
 
 

@@ -50,11 +50,15 @@ def test_dense_local_clamps_out_of_range():
 
 
 def test_dcnv3_dense_local_mode():
+    # dense_local is the gather-free fast path of the CENTERED semantics;
+    # the default "gather" mode is reference-exact (half-pixel base grid,
+    # layers/dcn_v3/op.py:16) and intentionally differs — see
+    # nn.dcn.DCNv3.sampling
     from iseg_tpu.nn.dcn import DCNv3
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(2, 8, 8, 16), jnp.float32)
-    gather = DCNv3(filters=16, groups=4, sampling="gather")
+    gather = DCNv3(filters=16, groups=4, sampling="gather_centered")
     fast = DCNv3(filters=16, groups=4, sampling="dense_local")
     variables = gather.init(jax.random.PRNGKey(0), x)
     # same params: zero-init offsets are in range -> identical outputs

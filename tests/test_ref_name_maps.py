@@ -134,3 +134,30 @@ def test_xception65_map_full_coverage():
 def test_efficientnetb0_map_full_coverage():
     run_family_check("efficientnetb0", "efficientnetb0",
                      weight_maps.efficientnet_name_map)
+
+
+def test_vit_base_map_full_coverage():
+    run_family_check("vit_base_patch16", "vit_base", weight_maps.vit_name_map)
+
+
+def test_mlp_mixer_b16_map_full_coverage():
+    run_family_check("mlp_mixer_b16", "mlp_mixer_b16",
+                     weight_maps.mlp_mixer_name_map, hw=224)
+
+
+def test_eva02_tiny_map_full_coverage():
+    run_family_check("eva02_tiny", "eva02_tiny", weight_maps.eva_name_map,
+                     hw=56)
+
+
+def test_hrnet_w48_map_full_coverage():
+    run_family_check("hrnet_w48", "hrnet_w48", weight_maps.hrnet_name_map)
+
+
+def test_intern_image_tiny_map_full_coverage():
+    run_family_check("intern_image_tiny", "intern_image_tiny",
+                     weight_maps.intern_image_name_map)
+
+
+def test_moat0_map_full_coverage():
+    run_family_check("moat0", "moat0", weight_maps.moat_name_map)
