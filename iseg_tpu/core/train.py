@@ -123,6 +123,7 @@ class CoreTrain:
         use_profiler: bool = False,
         profiler_dir: str = "/tmp/iseg_tpu_profile",
         profile_steps: int = 5,
+        prefetch_to_device: int = 2,
     ):
         self.env = env
         self.model = model
@@ -145,6 +146,9 @@ class CoreTrain:
         self.use_profiler = use_profiler
         self.profiler_dir = profiler_dir
         self.profile_steps = profile_steps
+        # batches kept sharded ahead of the consumer so host->HBM DMA
+        # overlaps the running step (reference: tf.data prefetch + infeed)
+        self.prefetch_to_device = prefetch_to_device
         self._host_step = 0
 
     def restore(self):
@@ -191,10 +195,17 @@ class CoreTrain:
             step_in_epoch = 0
             last_parts = {}
             timer = StepTimer()
-            for batch in dataset_fn(epoch):
+            def process_and_shard(batch):
                 if self.inputs_process is not None:
                     batch = self.inputs_process(batch)
-                batch = shard_batch(self.env.mesh, batch)
+                return shard_batch(self.env.mesh, batch)
+
+            from iseg_tpu.data.loader import device_prefetch
+
+            batches = device_prefetch(
+                dataset_fn(epoch), process_and_shard,
+                size=self.prefetch_to_device)
+            for batch in batches:
                 if self.device_augment is not None:
                     # host-side counter: reading state.step would force a
                     # device sync every step

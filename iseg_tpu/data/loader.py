@@ -84,32 +84,143 @@ def batched_dataset(
     drop_remainder: bool = True,
     process_index: int = 0,
     num_processes: int = 1,
+    num_workers: int = 0,
+    prefetch_batches: int = 4,
 ) -> Iterator[dict]:
     """Yield {"image": [N,H,W,3] fp32, "label": [N,H,W] int32} host batches.
 
     ``process_shard`` (`process_index`/`num_processes`) mirrors the
     reference's pod ``AutoShardPolicy.DATA`` (``core_train.py:186-195``).
-    """
+
+    ``num_workers > 0`` decodes + augments samples on a thread pool with a
+    bounded prefetch queue — the equivalent of the reference's tf.data
+    ``map(num_parallel_calls=AUTOTUNE) -> batch -> prefetch``
+    (``core_train.py:155-183``). PIL decode and the numpy augment kernels
+    release the GIL, so threads scale without multiprocess serialization.
+    Output batches are bit-identical to the serial path (same visit order,
+    same per-sample ``sample_index`` seeds)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng((seed, epoch)).shuffle(order)
     order = order[process_index::num_processes]
 
-    images, labels = [], []
-    for idx in order:
-        image, label = dataset[int(idx)]
+    def load_one(idx: int):
+        image, label = dataset[idx]
         if pipeline is not None:
-            image, label = pipeline(image, label, sample_index=int(idx) + epoch * len(dataset))
-        images.append(image)
-        labels.append(label)
-        if len(images) == batch_size:
-            yield {
-                "image": np.stack(images).astype(np.float32),
-                "label": np.stack(labels).astype(np.int32),
-            }
-            images, labels = [], []
-    if images and not drop_remainder:
-        yield {
+            image, label = pipeline(
+                image, label, sample_index=idx + epoch * len(dataset))
+        return image, label
+
+    def to_batch(images, labels):
+        return {
             "image": np.stack(images).astype(np.float32),
             "label": np.stack(labels).astype(np.int32),
         }
+
+    if num_workers <= 0:
+        images, labels = [], []
+        for idx in order:
+            image, label = load_one(int(idx))
+            images.append(image)
+            labels.append(label)
+            if len(images) == batch_size:
+                yield to_batch(images, labels)
+                images, labels = [], []
+        if images and not drop_remainder:
+            yield to_batch(images, labels)
+        return
+
+    yield from _parallel_batches(
+        load_one, [int(i) for i in order], batch_size, to_batch,
+        drop_remainder, num_workers, prefetch_batches)
+
+
+def _parallel_batches(load_one, order, batch_size, to_batch, drop_remainder,
+                      num_workers, prefetch_batches):
+    """Thread-pool decode/augment with a bounded in-order future window and
+    a bounded assembled-batch queue (producer thread), so the train loop
+    never waits on PNG decode while the chip is busy."""
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    out: queue.Queue = queue.Queue(maxsize=max(1, prefetch_batches))
+    stop = threading.Event()
+    _END = object()
+
+    def producer():
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                window = max(batch_size, 2 * num_workers)
+                futures = []
+                images, labels = [], []
+                pos = 0
+
+                def drain_one():
+                    nonlocal images, labels
+                    image, label = futures.pop(0).result()
+                    images.append(image)
+                    labels.append(label)
+                    if len(images) == batch_size:
+                        batch = to_batch(images, labels)
+                        images, labels = [], []
+                        while not stop.is_set():
+                            try:
+                                out.put(batch, timeout=0.5)
+                                return
+                            except queue.Full:
+                                continue
+
+                while pos < len(order) and not stop.is_set():
+                    while len(futures) < window and pos < len(order):
+                        futures.append(pool.submit(load_one, order[pos]))
+                        pos += 1
+                    drain_one()
+                while futures and not stop.is_set():
+                    drain_one()
+                if images and not drop_remainder and not stop.is_set():
+                    out.put(to_batch(images, labels))
+        except BaseException as e:  # propagate to the consumer
+            if not stop.is_set():
+                out.put(e)
+            return
+        out.put(_END)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = out.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
+def device_prefetch(batches: Iterator[dict], shard_fn: Callable,
+                    size: int = 2) -> Iterator[dict]:
+    """Keep ``size`` batches already sharded/transferred ahead of the
+    consumer so host->HBM DMA overlaps the running step (the reference
+    relies on tf.data ``prefetch(AUTOTUNE)`` + TF's infeed for this)."""
+    import collections
+
+    it = iter(batches)
+    buf: collections.deque = collections.deque()
+
+    def enqueue() -> bool:
+        try:
+            b = next(it)
+        except StopIteration:
+            return False
+        buf.append(shard_fn(b))
+        return True
+
+    for _ in range(max(1, size)):
+        if not enqueue():
+            break
+    while buf:
+        yield buf.popleft()
+        enqueue()

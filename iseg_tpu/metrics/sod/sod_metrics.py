@@ -188,30 +188,132 @@ def weighted_f_measure(pred, gt, beta2: float = 1.0) -> float:
     return float((1 + beta2) * rec * prec / (beta2 * prec + rec + _EPS))
 
 
-def hce_score(pred, gt, epsilon: float = 2.0) -> float:
-    """Human-correction-efforts proxy (reference HCE, DIS dataset): counts
-    dominant boundary segments a human would fix — approximated as the
-    number of connected false-positive/false-negative regions larger than
-    ``epsilon``-eroded noise, plus their boundary complexity."""
+def _morph_skeleton(mask: np.ndarray) -> np.ndarray:
+    """Lantuejoul morphological skeleton — the fixpoint loop of the
+    reference's ``tf_skeletonize`` (``sod_metric_utils.py:427``) with
+    proper binary erosion/opening: S = union_n [erode^n(A) - open(erode^n(A))]."""
     from scipy import ndimage
 
-    pred, gt = _prep(pred, gt)
-    binary = pred >= 0.5
-    gtb = gt > 0.5
+    struct = np.ones((3, 3), bool)
+    current = mask.astype(bool)
+    skeleton = np.zeros_like(current)
+    for _ in range(100):
+        if not current.any():
+            break
+        eroded = ndimage.binary_erosion(current, structure=struct)
+        opened = ndimage.binary_dilation(eroded, structure=struct)
+        skeleton |= current & ~opened
+        current = eroded
+    return skeleton
+
+
+def _rdp_count(points: np.ndarray, epsilon: float) -> int:
+    """Ramer-Douglas-Peucker control-point count over the point sequence
+    (reference ``tf_approx_poly_dp``, ``sod_metric_utils.py:852`` — with its
+    clamped segment projection), iterative to avoid recursion limits."""
+    n = len(points)
+    if n <= 2:
+        return n
+    pts = points.astype(np.float64)
+    keep = np.zeros(n, bool)
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        keep[lo] = keep[hi] = True
+        if hi - lo < 2:
+            continue
+        seg = pts[lo:hi + 1]
+        start, end = seg[0], seg[-1]
+        line = end - start
+        denom = float(np.dot(line, line)) + 1e-8
+        t = np.clip((seg - start) @ line / denom, 0.0, 1.0)
+        proj = start + t[:, None] * line
+        dist = np.sqrt(((seg - proj) ** 2).sum(axis=1))
+        idx = int(np.argmax(dist))
+        if dist[idx] > epsilon:
+            stack.append((lo, lo + idx))
+            stack.append((lo + idx, hi))
+    return int(keep.sum())
+
+
+def _edge_points(mask: np.ndarray) -> np.ndarray:
+    """Sobel-magnitude boundary points in row-major order (reference
+    ``tf_find_contours``, ``sod_metric_utils.py:815``)."""
+    from scipy import ndimage
+
+    m = mask.astype(np.float64)
+    gx = ndimage.convolve(m, np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],
+                                      np.float64), mode="constant")
+    gy = ndimage.convolve(m, np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]],
+                                      np.float64), mode="constant")
+    return np.argwhere(np.hypot(gx, gy) > 0)
+
+
+def _filter_conditional_boundary(points, mask, condition):
+    """(boundary points adjacent to ``condition``, count of touched mask
+    regions) — reference ``tf_filter_conditional_boundary``
+    (``sod_metric_utils.py:915``), with real 3x3 dilation + 4-connected
+    labeling."""
+    from scipy import ndimage
+
+    cond = ndimage.binary_dilation(condition, structure=np.ones((3, 3), bool))
+    if len(points) == 0:
+        return points, 0
+    sel = cond[points[:, 0], points[:, 1]]
+    filtered = points[sel]
+    if len(filtered) == 0:
+        return filtered, 0
+    labeled, _ = ndimage.label(mask)
+    touched = np.unique(labeled[filtered[:, 0], filtered[:, 1]])
+    return filtered, int(np.count_nonzero(touched))
+
+
+def hce_score(pred, gt, epsilon: float = 2.0, relax: int = 5) -> float:
+    """Human Correction Effort (DIS, Qin et al. ECCV 2022) — the
+    reference's ``_cal_hce`` pipeline (``sod_metrics.py:1139-1216``):
+    skeleton-preserving relaxed FP/FN regions, condition-filtered boundary
+    points, RDP control-point counting plus independent-region counts.
+
+    The reference's TF helper tier is a self-described approximation whose
+    ``dilation2d(ones)`` computes maxpool+1 (``sod_metric_utils.py:385`` —
+    making every ``dilate(...) > 0`` all-true); this implementation keeps
+    the reference's algorithm with correct binary morphology."""
+    from scipy import ndimage
+
+    pred, gtf = _prep(pred, gt)
+    gtb = gtf > 0.5
+    pred_binary = pred > 0.5
     struct = np.ones((3, 3), bool)
 
-    score = 0.0
-    for err in (binary & ~gtb, ~binary & gtb):
-        # ignore epsilon-thin noise
-        cleaned = ndimage.binary_opening(err, structure=struct,
-                                         iterations=max(1, int(epsilon // 2)))
-        labels, n = ndimage.label(cleaned)
-        score += n
-        if n:
-            # boundary complexity: perimeter pixels / 100
-            boundary = cleaned & ~ndimage.binary_erosion(cleaned, structure=struct)
-            score += boundary.sum() / 100.0
-    return float(score)
+    gt_skeleton = _morph_skeleton(gtb)
+
+    union = gtb | pred_binary
+    tp = gtb & pred_binary
+    fp = pred_binary ^ tp
+    fn = gtb ^ tp
+
+    eroded_union = ndimage.binary_erosion(union, structure=struct,
+                                          iterations=relax)
+
+    fp_ = fp & eroded_union
+    for _ in range(relax):
+        fp_ = ndimage.binary_dilation(fp_, structure=struct) & ~gtb
+    fp_ = fp & fp_
+
+    fn_ = fn & eroded_union
+    for _ in range(relax):
+        fn_ = ndimage.binary_dilation(fn_, structure=struct) & ~pred_binary
+    fn_ = fn & fn_
+    # preserve structural (skeleton) misses
+    fn_ = fn_ | (gt_skeleton ^ (tp & gt_skeleton))
+
+    bdies_fp, indep_fp = _filter_conditional_boundary(
+        _edge_points(fp_), fp_, tp | fn_)
+    bdies_fn, indep_fn = _filter_conditional_boundary(
+        _edge_points(fn_), fn_, ~(tp | fp_ | fn_))
+
+    return float(_rdp_count(bdies_fp, epsilon) + indep_fp
+                 + _rdp_count(bdies_fn, epsilon) + indep_fn)
 
 
 # ----------------------------------------------------------- metric classes

@@ -75,9 +75,15 @@ def test_uint8_saliency_maps_accepted():
 def test_hce_zero_for_perfect():
     gt = _gt()
     assert hce_score(gt, gt) == 0.0
+    # a small isolated far-away FP blob sits outside the relaxed union and
+    # costs nothing (reference _cal_hce relax semantics,
+    # sod_metrics.py:1166-1178); an error eating into the object costs > 0
     noisy = gt.copy()
-    noisy[2:6, 2:6] = 1.0  # a false-positive blob
-    assert hce_score(noisy, gt) > 0
+    noisy[2:6, 2:6] = 1.0
+    assert hce_score(noisy, gt) == 0.0
+    missing = gt.copy()
+    missing[8:24, 16:24] = 0.0  # right half of the object missing
+    assert hce_score(missing, gt) > 0
 
 
 def test_streaming_classes_batch_and_single():
