@@ -100,12 +100,19 @@ class DCNv3(nn.Module):
     # "gather": reference-exact sampling (layers/dcn_v3/op.py:16 semantics
     #   incl. its half-pixel base grid and (dim-2) scaling — what published
     #   reference InternImage weights were trained with). Unbounded offsets,
-    #   XLA gather.
+    #   XLA gather (slow on TPU).
+    # "dense_local_ref": the SAME reference-exact semantics through the
+    #   gather-free dense-local machinery on the transposed value plane
+    #   (ops.deform.dcnv3_ref_effective_offsets) — exact whenever every
+    #   effective offset stays within +-max_local_offset; square stride-1
+    #   dilation-1 maps only.
     # "gather_centered": clean centered DCN sampling (tap centers at
     #   integer pixels, zero outside) — the TPU-native from-scratch choice.
     # "dense_local": gather-free fast path of the centered semantics;
     #   offsets clamped to +-max_local_offset px (exact vs gather_centered
     #   whenever offsets stay in range).
+    # "auto": dense_local_ref when the map qualifies, reference gather
+    #   otherwise — drop-in for pretrained weights at dense speed.
     sampling: str = "gather"
     max_local_offset: int = 2
     dtype: Any = None
@@ -157,7 +164,13 @@ class DCNv3(nn.Module):
         off_b = offsets.transpose(0, 3, 1, 2, 4, 5).reshape(n * g, ho, wo, kk, 2)
         mod_b = modul.transpose(0, 3, 1, 2, 4).reshape(n * g, ho, wo, kk)
 
-        if (self.sampling == "dense_local" and self.stride == 1
+        sampling = self.sampling
+        if sampling == "auto":
+            sampling = ("dense_local_ref"
+                        if (h == w and self.stride == 1 and self.dilation == 1)
+                        else "gather")
+
+        if (sampling == "dense_local" and self.stride == 1
                 and self.dilation == 1):
             from iseg_tpu.ops.deform import deform_dense_local
 
@@ -165,7 +178,20 @@ class DCNv3(nn.Module):
                 vg, off_b * self.offset_scale, mod_b, kernel_size=k,
                 max_offset=self.max_local_offset,
             )  # [N*G, Ho, Wo, gc]
-        elif self.sampling == "gather_centered":
+        elif (sampling == "dense_local_ref" and self.stride == 1
+                and self.dilation == 1):
+            from iseg_tpu.ops.deform import (
+                dcnv3_ref_effective_offsets,
+                deform_dense_local,
+            )
+
+            eff = dcnv3_ref_effective_offsets(
+                off_b, h, w, kernel_size=k, offset_scale=self.offset_scale)
+            out = deform_dense_local(
+                vg.transpose(0, 2, 1, 3), eff, mod_b, kernel_size=k,
+                max_offset=self.max_local_offset,
+            )  # [N*G, Ho, Wo, gc] (already output-indexed, no re-transpose)
+        elif sampling == "gather_centered":
             taps = deform_im2col(
                 vg, off_b * self.offset_scale, kernel_size=k,
                 stride=self.stride, dilation=self.dilation,

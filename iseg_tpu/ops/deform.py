@@ -302,3 +302,70 @@ def dcnv3_sample_ref(
         + corner(y1i, x1i, dx0 * dy0)
     )
     return out.sum(axis=3)
+
+
+def dcnv3_ref_effective_offsets(
+    offsets: jax.Array,
+    h: int,
+    w: int,
+    kernel_size: int = 3,
+    offset_scale: float = 1.0,
+) -> jax.Array:
+    """Re-express the reference DCNv3 sampling (:func:`dcnv3_sample_ref`)
+    as LOCAL effective offsets on the TRANSPOSED value plane, unlocking the
+    gather-free dense-local fast path for the reference-exact semantics.
+
+    Key observation: the reference's mixed y/x pair convention means
+    out[i, j] samples the input around pixel (row=j, col=i) — i.e. around
+    (i, j) OF THE TRANSPOSED input — and its half-pixel base and (dim-2)
+    pixel scaling are small position-dependent fractional shifts. On a
+    square map both reduce to bounded per-position offsets:
+
+        out = dense_local(transpose(x), eff_offsets, mask)
+
+    is EXACTLY :func:`dcnv3_sample_ref` whenever every effective offset
+    stays within the dense-local clamp. Square stride-1 dilation-1 maps
+    only (the non-square reference drift term grows with position).
+
+    Args:
+      offsets: [B, Ho, Wo, P, 2] raw offset-head outputs (reference pair
+        layout).
+    Returns eff [B, Ho, Wo, P, 2] (dy, dx) offsets for
+    :func:`deform_dense_local` applied to the transposed plane.
+    """
+    if h != w:
+        raise ValueError(
+            f"dense-local reference semantics needs a square map, got {h}x{w}")
+    k = kernel_size
+    pad = (k - 1) // 2
+    hp = h + 2 * pad
+    f32 = jnp.float32
+
+    half = (k - 1) // 2
+    taps = jnp.arange(k, dtype=f32) - half
+    # dense_local tap enumeration: tap_y = repeat, tap_x = tile
+    tap_y_dense = jnp.repeat(taps, k)  # [P]
+    tap_x_dense = jnp.tile(taps, k)
+    # reference tap enumeration (x-major: p = a*k + b, dx = taps[a])
+    base = -((k - 1) // 2)
+    ref_dx = (base + jnp.repeat(jnp.arange(k, dtype=f32), k))  # [P]
+    ref_dy = (base + jnp.tile(jnp.arange(k, dtype=f32), k))
+
+    i = jnp.arange(h, dtype=f32)[:, None]  # rows [Ho, 1]
+    j = jnp.arange(w, dtype=f32)[:, None]  # cols [Wo, 1]
+    off0 = offsets[..., 0].astype(f32)  # [B, Ho, Wo, P]
+    off1 = offsets[..., 1].astype(f32)
+
+    # reference pixel coords (dcnv3_sample_ref): x tracks the ROW index,
+    # y tracks the COLUMN index; (hp-2)/hp is the squeeze factor
+    sq = (hp - 2.0) / hp
+    x_base = (pad + 0.5 + i) * sq - pad + ref_dx * offset_scale * sq  # [Ho, P]
+    y_base = (pad + 0.5 + j) * sq - pad + ref_dy * offset_scale * sq  # [Wo, P]
+    x_t = x_base[None, :, None, :] + off0 * offset_scale * sq
+    y_t = y_base[None, None, :, :] + off1 * offset_scale * sq
+
+    # transposed-plane local offsets: row coord of out[i,j] samples x_t
+    eff_dy = x_t - (i[None, :, None] + tap_y_dense)          # [B,Ho,Wo,P]
+    eff_dx = y_t - (jnp.arange(w, dtype=f32)[None, None, :, None]
+                    + tap_x_dense)
+    return jnp.stack([eff_dy, eff_dx], axis=-1)

@@ -108,3 +108,50 @@ def test_dcnv2_dense_local_mode():
     # zero-init offsets -> in range -> identical
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dense_local_ref_matches_reference_gather():
+    """dense_local_ref (gather-free, transposed-plane) must be EXACT vs the
+    reference-semantics sampler for in-range offsets (VERDICT #4: a path
+    exact for pretrained weights at dense-local speed)."""
+    from iseg_tpu.ops.deform import (
+        dcnv3_ref_effective_offsets,
+        dcnv3_sample_ref,
+        deform_dense_local,
+    )
+
+    rng = np.random.RandomState(3)
+    b, h, w, c, kk = 2, 12, 12, 4, 9
+    x = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    offsets = jnp.asarray(rng.uniform(-1.5, 1.5, (b, h, w, kk, 2)), jnp.float32)
+    mask = jnp.asarray(rng.rand(b, h, w, kk), jnp.float32)
+
+    exact = dcnv3_sample_ref(x, offsets, mask, kernel_size=3)
+    eff = dcnv3_ref_effective_offsets(offsets, h, w, kernel_size=3)
+    # effective offsets stay well inside the clamp for these inputs
+    assert float(jnp.abs(eff).max()) < 4.0
+    fast = deform_dense_local(x.transpose(0, 2, 1, 3), eff, mask,
+                              kernel_size=3, max_offset=4)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dcnv3_auto_mode_matches_gather():
+    from iseg_tpu.nn.dcn import DCNv3
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 8, 8, 16), jnp.float32)
+    exact = DCNv3(filters=16, groups=4, sampling="gather")
+    auto = DCNv3(filters=16, groups=4, sampling="auto", max_local_offset=4)
+    variables = exact.init(jax.random.PRNGKey(0), x)
+    a = exact.apply(variables, x)
+    b = auto.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+    # non-square map: auto falls back to the exact gather path
+    xr = jnp.asarray(rng.rand(2, 8, 12, 16), jnp.float32)
+    vr = exact.init(jax.random.PRNGKey(0), xr)
+    np.testing.assert_allclose(
+        np.asarray(exact.apply(vr, xr)), np.asarray(auto.apply(vr, xr)),
+        rtol=2e-5, atol=2e-5)

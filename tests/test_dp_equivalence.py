@@ -19,7 +19,11 @@ def test_sharded_step_matches_single_device():
     env = common_env_setup(EnvConfig(mixed_precision=False))
     model = SegManaged(
         num_class=3,
-        backbone=get_backbone("mobilenetv2", output_stride=16, width_multiplier=0.35),
+        # include_top_conv=False: the 1280-wide top BN's backward amplifies
+        # fp32 reduction-order noise past the tight tolerance on these tiny
+        # 32x32 test features (it defaults True for reference parity)
+        backbone=get_backbone("mobilenetv2", output_stride=16,
+                              width_multiplier=0.35, include_top_conv=False),
         head=SimpleDecoder(filters=16, low_level_filters=8),
     )
     rng = jax.random.PRNGKey(0)
