@@ -4,10 +4,15 @@ Parity with the reference ``nlp/gemma/gemma_tokenizer.py:23`` (SentencePiece
 proto-based tokenizer) and ``gemma_causal_lm_preprocessor.py:28`` (prompt
 packing with start/end tokens + padding masks).
 
-This environment ships neither ``sentencepiece`` nor tokenizer model files,
-so the backend is resolved lazily: ``sentencepiece`` if importable, else a
-``transformers`` tokenizer, else a clear error. The preprocessor logic is
-backend-independent and tested with a stub vocabulary.
+Backends, resolved lazily by file type and availability:
+  - ``*.json`` -> HuggingFace ``tokenizers`` fast format (Gemma publishes
+    ``tokenizer.json`` alongside the SentencePiece proto);
+  - ``*.model``/``*.spm`` -> ``sentencepiece`` if importable, else a
+    ``transformers`` slow tokenizer wrapping the same proto;
+  - anything else -> a clear error.
+The preprocessor logic is backend-independent; the ``tokenizers`` path is
+exercised end-to-end against a real trained subword vocabulary in
+``tests/test_gemma_tokenizer_real.py``.
 """
 
 from __future__ import annotations
@@ -57,7 +62,45 @@ class GemmaTokenizer:
         return self._backend
 
 
+class _FastTokenizersAdapter:
+    """Backend over HuggingFace ``tokenizers`` (``tokenizer.json`` format —
+    the fast-tokenizer export Gemma ships next to the SentencePiece proto).
+
+    Special-token ids follow the Gemma convention recorded in the vocab
+    itself: ``<pad>``/``<eos>``/``<bos>`` are looked up by string, with the
+    reference defaults (0/1/2) as fallback."""
+
+    def __init__(self, json_path: str):
+        from tokenizers import Tokenizer
+
+        self._tok = Tokenizer.from_file(json_path)
+
+    def encode(self, text):
+        return self._tok.encode(text, add_special_tokens=False).ids
+
+    def decode(self, ids):
+        return self._tok.decode(list(ids), skip_special_tokens=True)
+
+    def _id_of(self, token: str, default: int) -> int:
+        tid = self._tok.token_to_id(token)
+        return default if tid is None else tid
+
+    def pad_id(self):
+        return self._id_of(GemmaTokenizer.PAD_TOKEN, 0)
+
+    def eos_id(self):
+        return self._id_of(GemmaTokenizer.END_TOKEN, 1)
+
+    def bos_id(self):
+        return self._id_of(GemmaTokenizer.START_TOKEN, 2)
+
+    def vocab_size(self):
+        return self._tok.get_vocab_size()
+
+
 def _load_backend(proto_path: str):
+    if proto_path.endswith(".json"):
+        return _FastTokenizersAdapter(proto_path)
     try:
         import sentencepiece as spm
 
