@@ -67,6 +67,10 @@ def timeit(f, *args, n=20):
 
 
 def main():
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/iseg_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     dt = jnp.bfloat16
     geoms = [
         # (tag, B, H, Cin, Cout, d)
