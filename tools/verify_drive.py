@@ -2,6 +2,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 import shutil, numpy as np, jax.numpy as jnp
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import iseg_tpu.nn.norm as norm
 norm.set_bn_momentum(0.9)
 from iseg_tpu.backbones import get_backbone
