@@ -17,6 +17,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from iseg_tpu.ops.deform import deform_im2col
 
@@ -170,6 +171,20 @@ class DCNv3(nn.Module):
                         if (h == w and self.stride == 1 and self.dilation == 1)
                         else "gather")
 
+        # calibration tap: when the caller mutes "intermediates"
+        # (see iseg_tpu.nn.dcn.calibrate_dcn_sampling), record the max
+        # reference-effective offset magnitude this layer produces — the
+        # quantity the dense-local clamp must cover for exactness. Unused
+        # otherwise (not stored, DCE'd by XLA).
+        if (self.is_mutable_collection("intermediates")
+                and h == w and self.stride == 1 and self.dilation == 1):
+            from iseg_tpu.ops.deform import dcnv3_ref_effective_offsets
+
+            eff_stat = dcnv3_ref_effective_offsets(
+                off_b, h, w, kernel_size=k, offset_scale=self.offset_scale)
+            self.sow("intermediates", "dcn_offset_mag",
+                     jnp.max(jnp.abs(eff_stat.astype(jnp.float32))))
+
         if (sampling == "dense_local" and self.stride == 1
                 and self.dilation == 1):
             from iseg_tpu.ops.deform import deform_dense_local
@@ -212,3 +227,45 @@ class DCNv3(nn.Module):
 
         return nn.Dense(self.filters, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="output_proj")(out)
+
+
+def calibrate_dcn_sampling(model, variables, x, train: bool = False,
+                           max_dense_r: int = 6, margin: float = 0.5):
+    """Measure each DCNv3 layer's max reference-effective offset magnitude
+    on a sample batch and recommend a per-layer sampling mode
+    (VERDICT round-1 #4: quantify dense_local-vs-gather divergence and
+    auto-select mode per layer).
+
+    The dense-local fast path is EXACT while every effective offset stays
+    within its clamp ``max_local_offset`` = r, at a cost growing with
+    ``(K + 2r)^2``. This runs the model once with the "intermediates"
+    collection mutable (each DCNv3 sows its max |effective offset|), then
+    recommends the smallest exact r per layer, falling back to the gather
+    path when r would exceed ``max_dense_r``.
+
+    Returns ``{layer_path: {"max_offset_mag": float, "recommended_r": int,
+    "recommended_sampling": str}}``.
+    """
+    import flax
+
+    kwargs = {"train": train} if train is not None else {}
+    try:
+        _, state = model.apply(variables, x, mutable=["intermediates"],
+                               **kwargs)
+    except TypeError:  # model without a train kwarg
+        _, state = model.apply(variables, x, mutable=["intermediates"])
+
+    flat = flax.traverse_util.flatten_dict(state.get("intermediates", {}))
+    report = {}
+    for path, value in flat.items():
+        if path[-1] != "dcn_offset_mag":
+            continue
+        mag = max(float(v) for v in value)  # sow stores a tuple per call
+        r = int(np.ceil(mag + margin))
+        report["/".join(path[:-1])] = {
+            "max_offset_mag": mag,
+            "recommended_r": r,
+            "recommended_sampling": ("dense_local_ref" if r <= max_dense_r
+                                     else "gather"),
+        }
+    return report

@@ -155,3 +155,48 @@ def test_dcnv3_auto_mode_matches_gather():
     np.testing.assert_allclose(
         np.asarray(exact.apply(vr, xr)), np.asarray(auto.apply(vr, xr)),
         rtol=2e-5, atol=2e-5)
+
+
+def test_calibrate_dcn_sampling_reports_layers():
+    """calibrate_dcn_sampling measures per-layer effective-offset bounds
+    and recommends the smallest exact dense-local clamp (VERDICT #4)."""
+    from iseg_tpu.nn.dcn import DCNv3, calibrate_dcn_sampling
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 8, 8, 16), jnp.float32)
+    layer = DCNv3(filters=16, groups=4, sampling="auto")
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    report = calibrate_dcn_sampling(layer, variables, x)
+    assert len(report) == 1
+    (stats,) = report.values()
+    # zero-init offset head -> effective offsets are just the sub-pixel
+    # base-grid shifts, well under 2 px
+    assert 0.0 <= stats["max_offset_mag"] < 2.0
+    assert stats["recommended_sampling"] == "dense_local_ref"
+    assert stats["recommended_r"] >= 1
+
+    # inflate the offset head bias -> magnitude grows -> gather recommended
+    import flax
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    for path in flat:
+        if "offset_head" in path and path[-1] == "bias":
+            flat[path] = flat[path] + 50.0
+    big = {"params": flax.traverse_util.unflatten_dict(flat)}
+    report2 = calibrate_dcn_sampling(layer, big, x)
+    (stats2,) = report2.values()
+    assert stats2["max_offset_mag"] > stats["max_offset_mag"]
+    assert stats2["recommended_sampling"] == "gather"
+
+
+def test_calibrate_on_backbone():
+    from iseg_tpu.backbones.intern_image import InternImage
+    from iseg_tpu.nn.dcn import calibrate_dcn_sampling
+
+    bb = InternImage(channels=16, depths=(1, 1), groups=(2, 4),
+                     dcn_sampling="auto")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), x)
+    report = calibrate_dcn_sampling(bb, variables, x)
+    assert len(report) == 2  # one DCNv3 per block
+    for stats in report.values():
+        assert stats["recommended_sampling"] == "dense_local_ref"

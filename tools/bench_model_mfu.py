@@ -47,7 +47,8 @@ def build(config_name: str):
     elif config_name == "intern":
         model = SegManaged(
             num_class=19,
-            backbone=get_backbone("intern_image_tiny", dtype=dtype),
+            backbone=get_backbone("intern_image_tiny", dtype=dtype,
+                                  dcn_sampling="auto"),
             head=ASPP(filters=256, dtype=dtype),
             upsample_logits=False, fuse_upsample_loss=True,
         )
