@@ -34,6 +34,9 @@ class GemmaCausalLM:
         self.backbone = GemmaBackbone(
             config=self.config, dtype=self.dtype, param_dtype=self.param_dtype
         )
+        # jitted generate programs, keyed by sampling config (shape changes
+        # retrace within each jit entry as usual)
+        self._generate_jit: dict = {}
 
     # -- setup ------------------------------------------------------------
     def init(self, rng, batch=1, seq=8):
@@ -77,11 +80,39 @@ class GemmaCausalLM:
         end_token_id: Optional[int] = None,
     ) -> jax.Array:
         """Returns [B, max_length] generated ids (prompt included).
-        Jit-compilable end to end (reference ``generate_step`` :241-314)."""
-        b, p = prompt_ids.shape
-        caches = self.build_cache(b, max_length)
+
+        Compiled end to end (reference ``generate_step`` :241-314): the
+        whole prefill + scan-decode body is jitted, cached per sampling
+        config — calling it eagerly would pay per-op dispatch for the
+        prefill, which dominates on high-latency links."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        key = (max_length, temperature, top_k, end_token_id)
+        fn = self._generate_jit.get(key)
+        if fn is None:
+            import functools
+
+            fn = jax.jit(functools.partial(
+                self._generate_impl, max_length=max_length,
+                temperature=temperature, top_k=top_k,
+                end_token_id=end_token_id))
+            self._generate_jit[key] = fn
+        return fn(variables, prompt_ids, prompt_lengths, rng)
+
+    def _generate_impl(
+        self,
+        variables,
+        prompt_ids: jax.Array,
+        prompt_lengths: jax.Array,
+        rng: jax.Array,
+        *,
+        max_length: int,
+        temperature: float,
+        top_k: Optional[int],
+        end_token_id: Optional[int],
+    ) -> jax.Array:
+        b, p = prompt_ids.shape
+        caches = self.build_cache(b, max_length)
 
         # prefill: run the whole prompt once, cache k/v at [0, P); the
         # position-aware causal mask hides the not-yet-written cache tail
