@@ -39,6 +39,7 @@ def export_inference(
     flip: bool = False,
     sliding_window_crop_size: Optional[Sequence[int]] = None,
     sliding_window_stride_rate: float = 2.0 / 3.0,
+    int8_weights: bool = False,
     input_dtype=jnp.float32,
     path: Optional[str] = None,
 ) -> bytes:
@@ -55,11 +56,26 @@ def export_inference(
       scale_rates / flip: bake multi-scale + flip logit averaging into the
         artifact (reference ``core_model.py:232-326`` semantics via
         ``iseg_tpu.core.inference.inference_with_multi_scales``).
+      int8_weights: store weights as int8 + per-channel scales inside the
+        artifact (``iseg_tpu.ops.quant``, ~2x smaller file); dequant
+        happens inside the compiled function, fused into each consumer.
       path: optionally also write the serialized bytes to this file.
 
     Returns the serialized artifact bytes.
     """
     h, w = int(input_hw[0]), int(input_hw[1])
+
+    if int8_weights:
+        from iseg_tpu.ops.quant import dequantize_tree, quantize_tree
+
+        qparams = quantize_tree(variables["params"])
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def make_variables():
+            return {"params": dequantize_tree(qparams), **rest}
+    else:
+        def make_variables():
+            return variables
 
     sliding_kwargs = {}
     if sliding_window_crop_size is not None:
@@ -69,8 +85,9 @@ def export_inference(
         }
 
     def forward(x):
+        v = make_variables()  # int8 leaves dequant inside the artifact
         apply_fn = lambda img: _main_output(  # noqa: E731
-            model.apply(variables, img, train=False))
+            model.apply(v, img, train=False))
         if scale_rates or flip:
             from iseg_tpu.core.inference import inference_with_multi_scales
 

@@ -51,8 +51,23 @@ class GemmaCausalLM:
             self.dtype or jnp.float32,
         )
 
+    def _dense_variables(self, variables, barrier: bool):
+        """Transparent int8 weight-only support (ops.quant): rebuild
+        dense params when QTensor leaves are present, else pass through."""
+        from iseg_tpu.ops.quant import dequantize_tree, is_quantized
+
+        params = variables.get("params", variables)
+        if not is_quantized(params):
+            return variables
+        dense = dequantize_tree(params, barrier=barrier,
+                                dtype=self.dtype or jnp.bfloat16)
+        if "params" in variables:
+            return {**variables, "params": dense}
+        return dense
+
     # -- forward ----------------------------------------------------------
     def __call__(self, variables, token_ids):
+        variables = self._dense_variables(variables, barrier=False)
         hidden = self.backbone.apply(variables, token_ids)
         return self.backbone.apply(variables, hidden, method=GemmaBackbone.logits)
 
@@ -114,11 +129,18 @@ class GemmaCausalLM:
         b, p = prompt_ids.shape
         caches = self.build_cache(b, max_length)
 
+        # int8 weight-only serving (ops.quant): dequantize lazily —
+        # once for the prefill, and PER STEP behind an optimization
+        # barrier inside the decode scan so the bf16 weights are never
+        # materialized in HBM (decode reads int8, halving its bandwidth)
+        qvariables = variables
+
         # prefill: run the whole prompt once, cache k/v at [0, P); the
         # position-aware causal mask hides the not-yet-written cache tail
         positions = jnp.broadcast_to(jnp.arange(p)[None], (b, p))
         logits, caches = self.call_with_cache(
-            variables, prompt_ids, caches, 0, positions
+            self._dense_variables(qvariables, barrier=False),
+            prompt_ids, caches, 0, positions
         )
 
         tokens = jnp.zeros((b, max_length), jnp.int32)
@@ -159,7 +181,8 @@ class GemmaCausalLM:
             # decode forward for position i (writes cache at i)
             positions_i = jnp.full((b, 1), i, jnp.int32)
             logits_i, caches2 = self.call_with_cache(
-                variables, tok[:, None], caches, i, positions_i
+                self._dense_variables(qvariables, barrier=True),
+                tok[:, None], caches, i, positions_i
             )
             return (tokens2, caches2, logits_i[:, 0], key, done), None
 

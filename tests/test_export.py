@@ -101,3 +101,20 @@ def test_export_sliding_window(small_model):
         x, sliding_window_crop_size=(32, 32))
     np.testing.assert_allclose(np.asarray(serve(x)), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_export_int8_weights(small_model):
+    model, variables = small_model
+    blob_full = export_inference(model, variables, (32, 32))
+    blob_int8 = export_inference(model, variables, (32, 32),
+                                 int8_weights=True)
+    # int8 baking shrinks the artifact substantially
+    assert len(blob_int8) < 0.75 * len(blob_full)
+
+    serve_full = load_exported(blob_full)
+    serve_int8 = load_exported(blob_int8)
+    x = _imgs(np.random.RandomState(6), 2)
+    a = np.asarray(serve_full(x), np.float32)
+    b = np.asarray(serve_int8(x), np.float32)
+    # weight-only int8 keeps logits close
+    assert np.abs(a - b).max() < 0.15 * max(1.0, np.abs(a).max())

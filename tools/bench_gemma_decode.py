@@ -24,7 +24,8 @@ import numpy as np
 HBM_BW = 819e9  # bytes/s, TPU v5e
 
 
-def run(dtype, tag, batch=8, prompt_len=128, max_length=640):
+def run(dtype, tag, batch=8, prompt_len=128, max_length=640,
+        int8_weights=False):
     from iseg_tpu.nlp.gemma.causal_lm import GemmaCausalLM
     from iseg_tpu.nlp.gemma.config import GemmaConfig
 
@@ -37,8 +38,13 @@ def run(dtype, tag, batch=8, prompt_len=128, max_length=640):
 
     n_params = sum(x.size for x in jax.tree.leaves(variables))
     bytes_per_param = jnp.dtype(dtype).itemsize
+    if int8_weights:
+        from iseg_tpu.nlp.gemma.quant import quantize_tree
+
+        variables = {"params": quantize_tree(variables["params"])}
+        bytes_per_param = 1  # weights read as int8; scales are negligible
     kv_bytes = (batch * cfg.num_layers * 2 * max_length * cfg.num_kv_heads
-                * cfg.head_dim * bytes_per_param)
+                * cfg.head_dim * jnp.dtype(dtype).itemsize)
     # decode reads all weights once per step + half the KV cache on average
     bytes_per_step = n_params * bytes_per_param + kv_bytes / 2
     roof_tok_s = batch * HBM_BW / bytes_per_step
@@ -74,6 +80,7 @@ def main():
                       os.path.expanduser("~/.cache/iseg_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     run(jnp.bfloat16, "bf16")
+    run(jnp.bfloat16, "int8-weights", int8_weights=True)
     run(jnp.float32, "fp32")
 
 
