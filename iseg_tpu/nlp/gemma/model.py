@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from iseg_tpu.nlp.gemma.config import GemmaConfig
+from iseg_tpu.ops.quant import QuantDense, QuantEmbed
 
 
 class RMSNorm(nn.Module):
@@ -69,12 +70,12 @@ class GemmaAttention(nn.Module):
         b, t, _ = x.shape
         h, kvh, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-        q = nn.DenseGeneral((h, d), axis=-1, use_bias=False, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="query")(x)
-        k = nn.DenseGeneral((kvh, d), axis=-1, use_bias=False, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="key")(x)
-        v = nn.DenseGeneral((kvh, d), axis=-1, use_bias=False, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="value")(x)
+        q = QuantDense((h, d), axis=-1, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="query")(x)
+        k = QuantDense((kvh, d), axis=-1, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="key")(x)
+        v = QuantDense((kvh, d), axis=-1, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="value")(x)
 
         q = apply_rope_1d(q, positions, cfg.rope_max_wavelength)
         k = apply_rope_1d(k, positions, cfg.rope_max_wavelength)
@@ -103,9 +104,9 @@ class GemmaAttention(nn.Module):
             logits = jnp.where(mask, logits, jnp.float32(-1e9))
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhts,bshd->bthd", probs, v)
-        out = nn.DenseGeneral(cfg.hidden_dim, axis=(-2, -1), use_bias=False,
-                              dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="attention_output")(out)
+        out = QuantDense(cfg.hidden_dim, axis=(-2, -1), use_bias=False,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="attention_output")(out)
         return out, new_cache
 
 
@@ -130,13 +131,15 @@ class GemmaDecoderBlock(nn.Module):
 
         h = RMSNorm(epsilon=cfg.layer_norm_epsilon,
                     param_dtype=self.param_dtype, name="pre_ffw_norm")(x)
-        gate = nn.Dense(cfg.intermediate_dim, use_bias=False, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="gating_ffw")(h)
-        up = nn.Dense(cfg.intermediate_dim, use_bias=False, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="gating_ffw_2")(h)
+        gate = QuantDense(cfg.intermediate_dim, use_bias=False,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="gating_ffw")(h)
+        up = QuantDense(cfg.intermediate_dim, use_bias=False,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="gating_ffw_2")(h)
         ffw = nn.gelu(gate, approximate=True) * up
-        ffw = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="ffw_linear")(ffw)
+        ffw = QuantDense(cfg.hidden_dim, use_bias=False, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="ffw_linear")(ffw)
         return x + ffw, new_cache
 
 
@@ -161,7 +164,7 @@ class GemmaBackbone(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.token_embedding = nn.Embed(
+        self.token_embedding = QuantEmbed(
             cfg.vocab_size, cfg.hidden_dim, dtype=self.dtype,
             param_dtype=self.param_dtype, name="token_embedding",
         )
@@ -201,7 +204,6 @@ class GemmaBackbone(nn.Module):
         return x
 
     def logits(self, hidden):
-        """Tied-embedding readout."""
-        emb = self.token_embedding.embedding
-        return jnp.einsum("btd,vd->btv", hidden.astype(jnp.float32),
-                          emb.astype(jnp.float32))
+        """Tied-embedding readout (int8-resident when the table is
+        quantized — the [V, D] read dominates the logits matmul)."""
+        return self.token_embedding.attend(hidden.astype(jnp.float32))

@@ -81,3 +81,50 @@ def test_generate_with_quantized_params(lm_and_vars):
                                             dtype=jnp.float32)}
     out_d = lm.generate(dense_vars, prompt, lengths, max_length=12)
     np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_d))
+
+
+def test_w8a8_score_close_and_generate(lm_and_vars):
+    """W8A8: int8-resident kernels (QuantDense switches on kernel dtype)
+    with dynamic per-row activation scales."""
+    from iseg_tpu.ops.quant import quantize_dense_tree
+
+    lm, variables = lm_and_vars
+    qvars = {"params": quantize_dense_tree(variables["params"])}
+
+    # every QuantDense kernel is now int8 with a real scale
+    import flax
+    flat = flax.traverse_util.flatten_dict(qvars["params"])
+    n_int8 = sum(1 for path, leaf in flat.items()
+                 if path[-1] == "kernel" and leaf.dtype == jnp.int8)
+    assert n_int8 == 2 * 7  # 7 projections per layer, 2 layers
+    emb = qvars["params"]["token_embedding"]
+    assert emb["embedding"].dtype == jnp.int8  # tied table int8 too
+
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(1, 512, (2, 8)), jnp.int32)
+    full = np.asarray(lm.score(variables, ids), np.float32)
+    quant = np.asarray(lm.score(qvars, ids), np.float32)
+    assert np.isfinite(quant).all()
+    assert np.abs(full - quant).max() < 0.35  # W8A8 noise, still close
+
+    prompt = jnp.asarray([[2, 5, 9, 4]], jnp.int32)
+    out = lm.generate(qvars, prompt, jnp.asarray([4], jnp.int32),
+                      max_length=12)
+    assert out.shape == (1, 12)
+    np.testing.assert_array_equal(np.asarray(out[0, :4]),
+                                  np.asarray(prompt[0]))
+
+
+def test_quant_dense_unquantized_matches_ones_scale():
+    """With the all-ones scale, QuantDense must equal a plain dense
+    contraction exactly (multiply by 1.0 is exact)."""
+    from iseg_tpu.ops.quant import QuantDense
+
+    x = jnp.asarray(np.random.RandomState(0).rand(3, 5, 16), jnp.float32)
+    layer = QuantDense((4, 8), axis=-1)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(variables, x)
+    w = variables["params"]["kernel"]
+    want = jnp.einsum("bti,ihd->bthd", x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

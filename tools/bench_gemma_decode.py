@@ -38,7 +38,12 @@ def run(dtype, tag, batch=8, prompt_len=128, max_length=640,
 
     n_params = sum(x.size for x in jax.tree.leaves(variables))
     bytes_per_param = jnp.dtype(dtype).itemsize
-    if int8_weights:
+    if int8_weights == "w8a8":
+        from iseg_tpu.ops.quant import quantize_dense_tree
+
+        variables = {"params": quantize_dense_tree(variables["params"])}
+        bytes_per_param = 1  # dense kernels int8-resident (embedding bf16)
+    elif int8_weights:
         from iseg_tpu.nlp.gemma.quant import quantize_tree
 
         variables = {"params": quantize_tree(variables["params"])}
@@ -80,8 +85,8 @@ def main():
                       os.path.expanduser("~/.cache/iseg_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     run(jnp.bfloat16, "bf16")
-    run(jnp.bfloat16, "int8-weights", int8_weights=True)
-    run(jnp.float32, "fp32")
+    run(jnp.bfloat16, "w8a8", int8_weights="w8a8")
+    run(jnp.bfloat16, "int8-weights-dequant", int8_weights=True)
 
 
 if __name__ == "__main__":
