@@ -28,6 +28,16 @@ GEMMA_PRESETS: dict[str, GemmaConfig] = {
         num_layers=28, num_heads=16, num_kv_heads=16,
         hidden_dim=3072, intermediate_dim=24576, head_dim=256,
     ),
+    # instruct variants share the base architectures (reference
+    # gemma_presets.py — the difference is the published weights)
+    "gemma_instruct_2b_en": GemmaConfig(
+        num_layers=18, num_heads=8, num_kv_heads=1,
+        hidden_dim=2048, intermediate_dim=16384, head_dim=256,
+    ),
+    "gemma_instruct_7b_en": GemmaConfig(
+        num_layers=28, num_heads=16, num_kv_heads=16,
+        hidden_dim=3072, intermediate_dim=24576, head_dim=256,
+    ),
     # tiny config for tests
     "gemma_test": GemmaConfig(
         vocab_size=512, num_layers=2, num_heads=4, num_kv_heads=2,

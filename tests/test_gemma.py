@@ -111,3 +111,14 @@ def test_tp_layout_shards_over_model_axis():
         jnp.ones((2, 4), jnp.int32),
     )
     assert logits.shape == (2, 4, model.config.vocab_size)
+
+
+def test_preset_names_match_reference():
+    """Reference gemma_presets.py ships 2b/7b + instruct variants."""
+    from iseg_tpu.nlp.gemma.config import GEMMA_PRESETS, get_preset
+
+    for name in ("gemma_2b_en", "gemma_7b_en",
+                 "gemma_instruct_2b_en", "gemma_instruct_7b_en"):
+        assert name in GEMMA_PRESETS
+    assert get_preset("gemma_instruct_2b_en") == get_preset("gemma_2b_en")
+    assert get_preset("gemma_instruct_7b_en") == get_preset("gemma_7b_en")
