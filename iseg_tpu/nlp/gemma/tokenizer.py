@@ -148,6 +148,47 @@ class GemmaCausalLMPreprocessor:
         self.add_start_token = add_start_token
         self.add_end_token = add_end_token
 
+    def for_training(self, texts: Sequence[str],
+                     sequence_length: Optional[int] = None):
+        """Next-token training pack (reference
+        ``gemma_causal_lm_preprocessor.py:88`` ``call``): tokenize + pack
+        to ``sequence_length + 1``, then split into inputs (all but the
+        last token) and targets (all but the first), with the padding
+        mask as the sample weight.
+
+        Returns ``({"token_ids", "padding_mask"}, y, sample_weight)``,
+        each ``[B, sequence_length]``."""
+        seq = sequence_length or self.sequence_length
+        pad = self.tokenizer.pad_id
+        ids_rows, mask_rows = [], []
+        for t in texts:
+            ids = self.tokenizer.tokenize(t)
+            if self.add_start_token:
+                ids = [self.tokenizer.bos_id] + ids
+            if self.add_end_token:
+                ids = ids + [self.tokenizer.eos_id]
+            ids = ids[: seq + 1]  # pack one extra for the shift-truncate
+            mask_rows.append([1] * len(ids) + [0] * (seq + 1 - len(ids)))
+            ids_rows.append(ids + [pad] * (seq + 1 - len(ids)))
+        token_ids = np.asarray(ids_rows, np.int32)
+        padding_mask = np.asarray(mask_rows, bool)
+        x = {"token_ids": token_ids[:, :-1],
+             "padding_mask": padding_mask[:, :-1]}
+        return x, token_ids[:, 1:], padding_mask[:, 1:]
+
+    def generate_postprocess(self, token_ids, lengths=None) -> list[str]:
+        """Strip pad/start/end tokens and detokenize each row (reference
+        ``generate_preprocess``'s inverse, :151)."""
+        out = []
+        special = {self.tokenizer.pad_id, self.tokenizer.bos_id,
+                   self.tokenizer.eos_id}
+        for i, row in enumerate(np.asarray(token_ids)):
+            if lengths is not None:
+                row = row[: int(np.asarray(lengths)[i])]
+            out.append(self.tokenizer.detokenize(
+                [int(t) for t in row if int(t) not in special]))
+        return out
+
     def __call__(self, texts: Sequence[str], for_generation: bool = False):
         """Returns (token_ids [B, L], lengths [B]). For generation the end
         token is omitted."""

@@ -93,3 +93,26 @@ def test_causal_lm_scores_real_tokens(vocab_path):
     scores = lm.score(variables, ids)  # per-token log-likelihoods [B, L-1]
     assert scores.shape == (2, 11)
     assert np.isfinite(np.asarray(scores, np.float32)).all()
+
+
+def test_for_training_next_token_pack(vocab_path):
+    """Reference gemma_causal_lm_preprocessor.call semantics: inputs are
+    tokens[:-1], targets tokens[1:], sample weight = padding mask."""
+    tok = GemmaTokenizer(proto_path=vocab_path)
+    pre = GemmaCausalLMPreprocessor(tok, sequence_length=10)
+    x, y, sw = pre.for_training(["hello world"])
+    assert x["token_ids"].shape == (1, 10)
+    assert y.shape == (1, 10) and sw.shape == (1, 10)
+    # target is the input shifted left by one while both are real tokens
+    real = sw[0] & x["padding_mask"][0]
+    np.testing.assert_array_equal(x["token_ids"][0, 1:][real[1:]],
+                                  y[0, :-1][real[1:]])
+    assert x["token_ids"][0, 0] == tok.bos_id
+
+
+def test_generate_postprocess_roundtrip(vocab_path):
+    tok = GemmaTokenizer(proto_path=vocab_path)
+    pre = GemmaCausalLMPreprocessor(tok, sequence_length=12)
+    ids, lengths = pre(["the quick brown fox"], for_generation=True)
+    texts = pre.generate_postprocess(ids)
+    assert texts[0].strip() == "the quick brown fox"
