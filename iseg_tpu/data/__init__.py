@@ -16,6 +16,12 @@ from iseg_tpu.data.pipeline import (
     AugmentationsPipeline,
     StandardAugmentationsPipeline,
 )
+from iseg_tpu.data.shards import (
+    ShardReader,
+    make_shard_dataset_fn,
+    shard_batches,
+    write_shards,
+)
 
 __all__ = [
     "InputNormTypes",
@@ -24,4 +30,8 @@ __all__ = [
     "get_mean_pixel",
     "AugmentationsPipeline",
     "StandardAugmentationsPipeline",
+    "ShardReader",
+    "make_shard_dataset_fn",
+    "shard_batches",
+    "write_shards",
 ]

@@ -7,6 +7,15 @@ from iseg_tpu.nlp.gemma.config import GemmaConfig, GEMMA_PRESETS, get_preset
 from iseg_tpu.nlp.gemma.model import GemmaBackbone
 from iseg_tpu.nlp.gemma.causal_lm import GemmaCausalLM
 from iseg_tpu.nlp.gemma.layout import get_layout_map, shard_gemma_params
+from iseg_tpu.nlp.gemma.samplers import (
+    BeamSampler,
+    GreedySampler,
+    RandomSampler,
+    Sampler,
+    TopKSampler,
+    TopPSampler,
+    get_sampler,
+)
 
 __all__ = [
     "GemmaConfig",
@@ -16,4 +25,11 @@ __all__ = [
     "GemmaCausalLM",
     "get_layout_map",
     "shard_gemma_params",
+    "Sampler",
+    "GreedySampler",
+    "RandomSampler",
+    "TopKSampler",
+    "TopPSampler",
+    "BeamSampler",
+    "get_sampler",
 ]

@@ -89,27 +89,54 @@ class GemmaCausalLM:
         prompt_ids: jax.Array,  # [B, P] int32 (left-aligned, 0-padded)
         prompt_lengths: jax.Array,  # [B]
         max_length: int,
-        temperature: float = 0.0,  # 0 = greedy
+        temperature: float = 0.0,  # 0 = greedy (back-compat shorthand)
         top_k: Optional[int] = None,  # restrict sampling to the k best
+        top_p: Optional[float] = None,  # nucleus sampling mass
+        sampler=None,  # Sampler instance or name ("greedy"/"top_k"/...)
         rng: Optional[jax.Array] = None,
         end_token_id: Optional[int] = None,
     ) -> jax.Array:
         """Returns [B, max_length] generated ids (prompt included).
 
+        ``sampler`` is the pluggable seam (reference
+        ``compile(sampler=...)`` accepting any keras-nlp sampler,
+        ``gemma_causal.py:44-76``): a :mod:`samplers` instance or name.
+        The temperature/top_k/top_p kwargs are shorthand that resolve to
+        the matching sampler. ``BeamSampler`` routes to the beam-expanded
+        program; everything else traces into the flat decode scan.
+
         Compiled end to end (reference ``generate_step`` :241-314): the
         whole prefill + scan-decode body is jitted, cached per sampling
         config — calling it eagerly would pay per-op dispatch for the
         prefill, which dominates on high-latency links."""
+        from iseg_tpu.nlp.gemma import samplers as S
+
+        if sampler is None:
+            if top_p is not None:
+                sampler = S.TopPSampler(
+                    p=top_p, k=top_k,
+                    temperature=temperature if temperature > 0 else 1.0)
+            elif temperature == 0.0:
+                sampler = S.GreedySampler()
+            elif top_k is not None:
+                sampler = S.TopKSampler(k=top_k, temperature=temperature)
+            else:
+                sampler = S.RandomSampler(temperature=temperature)
+        else:
+            sampler = S.get_sampler(sampler)
+
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        key = (max_length, temperature, top_k, end_token_id)
+        key = (max_length, sampler, end_token_id)
         fn = self._generate_jit.get(key)
         if fn is None:
             import functools
 
+            impl = (self._generate_beam_impl
+                    if isinstance(sampler, S.BeamSampler)
+                    else self._generate_impl)
             fn = jax.jit(functools.partial(
-                self._generate_impl, max_length=max_length,
-                temperature=temperature, top_k=top_k,
+                impl, max_length=max_length, sampler=sampler,
                 end_token_id=end_token_id))
             self._generate_jit[key] = fn
         return fn(variables, prompt_ids, prompt_lengths, rng)
@@ -122,8 +149,7 @@ class GemmaCausalLM:
         rng: jax.Array,
         *,
         max_length: int,
-        temperature: float,
-        top_k: Optional[int],
+        sampler,
         end_token_id: Optional[int],
     ) -> jax.Array:
         b, p = prompt_ids.shape
@@ -152,24 +178,12 @@ class GemmaCausalLM:
             logits, last_idx[:, None, None], axis=1
         )[:, 0]
 
-        def sample(logits, key):
-            if temperature == 0.0:
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            logits = logits / temperature
-            if top_k is not None:
-                vals, idx = jax.lax.top_k(logits, top_k)
-                choice = jax.random.categorical(key, vals)
-                return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(
-                    jnp.int32
-                )
-            return jax.random.categorical(key, logits).astype(jnp.int32)
-
         done0 = jnp.zeros((b,), bool)
 
         def step(carry, i):
             tokens, caches, next_logits, key, done = carry
             key, sub = jax.random.split(key)
-            new_tok = sample(next_logits, sub)
+            new_tok = sampler.sample(next_logits, sub)
             # only write into positions >= the prompt length
             in_gen = (i >= prompt_lengths) & (~done)
             cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
@@ -189,6 +203,102 @@ class GemmaCausalLM:
         init = (tokens, caches, next_logits, rng, done0)
         (tokens, *_), _ = jax.lax.scan(step, init, jnp.arange(p, max_length))
         return tokens
+
+    def _generate_beam_impl(
+        self,
+        variables,
+        prompt_ids: jax.Array,
+        prompt_lengths: jax.Array,
+        rng: jax.Array,
+        *,
+        max_length: int,
+        sampler,  # samplers.BeamSampler
+        end_token_id: Optional[int],
+    ) -> jax.Array:
+        """Beam search in the same one-program prefill+scan shape
+        (reference compiles ``BeamSampler`` through the identical
+        ``generate_step``, ``gemma_causal.py:70-76,283``).
+
+        The batch is beam-expanded to ``B*nb`` rows after a B-row prefill;
+        each scan step re-ranks (score + log-prob) over ``nb*V``
+        continuations, gathers the KV caches by parent-beam index, and the
+        best-scoring beam per sample is returned at the end. Finished beams
+        continue with token 0 at log-prob 0 so their scores freeze."""
+        nb = sampler.num_beams
+        b, p = prompt_ids.shape
+        neg_inf = jnp.float32(-1e9)
+
+        # prefill once on B rows, then tile rows nb times (row-major:
+        # [b0,b0,...,b1,b1,...] matches a later [B, nb, ...] reshape)
+        caches = self.build_cache(b, max_length)
+        positions = jnp.broadcast_to(jnp.arange(p)[None], (b, p))
+        logits, caches = self.call_with_cache(
+            self._dense_variables(variables, barrier=False),
+            prompt_ids, caches, 0, positions,
+        )
+        caches = jnp.repeat(caches, nb, axis=0)  # [B*nb, L, 2, T, kv, hd]
+
+        last_idx = jnp.clip(prompt_lengths - 1, 0, p - 1)
+        next_logits = jnp.take_along_axis(
+            logits, last_idx[:, None, None], axis=1
+        )[:, 0]  # [B, V]
+        vocab = next_logits.shape[-1]
+        next_logits = jnp.repeat(next_logits, nb, axis=0)  # [B*nb, V]
+
+        tokens = jnp.zeros((b, nb, max_length), jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, jnp.broadcast_to(prompt_ids[:, None], (b, nb, p)),
+            (0, 0, 0),
+        )
+        # beam 0 live, the rest dead so step 1 picks nb distinct tokens
+        scores = jnp.tile(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((nb - 1,), neg_inf)])
+            [None], (b, 1),
+        )
+        done0 = jnp.zeros((b, nb), bool)
+
+        def step(carry, i):
+            tokens, caches, next_logits, scores, done = carry
+            log_probs = jax.nn.log_softmax(
+                next_logits.astype(jnp.float32), axis=-1
+            ).reshape(b, nb, vocab)
+            # finished beams: only token 0 at log-prob 0 (score frozen)
+            pad_row = jnp.full((vocab,), neg_inf).at[0].set(0.0)
+            log_probs = jnp.where(done[..., None], pad_row, log_probs)
+
+            total = (scores[..., None] + log_probs).reshape(b, nb * vocab)
+            new_scores, flat_idx = jax.lax.top_k(total, nb)  # [B, nb]
+            parent = flat_idx // vocab
+            tok = (flat_idx % vocab).astype(jnp.int32)
+
+            done2 = jnp.take_along_axis(done, parent, axis=1)
+            if end_token_id is not None:
+                done2 = done2 | (tok == end_token_id)
+
+            # reorder histories and caches by parent beam
+            tokens2 = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+            tokens2 = jax.lax.dynamic_update_slice(
+                tokens2, tok[..., None], (0, 0, i)
+            )
+            caches_bnb = caches.reshape(b, nb, *caches.shape[1:])
+            caches2 = jax.vmap(lambda c, idx: c[idx])(caches_bnb, parent)
+            caches2 = caches2.reshape(b * nb, *caches.shape[1:])
+
+            positions_i = jnp.full((b * nb, 1), i, jnp.int32)
+            logits_i, caches3 = self.call_with_cache(
+                self._dense_variables(variables, barrier=True),
+                tok.reshape(b * nb, 1), caches2, i, positions_i,
+            )
+            return (tokens2, caches3, logits_i[:, 0], new_scores, done2), None
+
+        init = (tokens, caches, next_logits, scores, done0)
+        (tokens, _, _, scores, _), _ = jax.lax.scan(
+            step, init, jnp.arange(p, max_length)
+        )
+        best = jnp.argmax(scores, axis=1)
+        return jnp.take_along_axis(
+            tokens, best[:, None, None], axis=1
+        )[:, 0]
 
     def score(self, variables, token_ids):
         """Per-token log-likelihood of ``token_ids``
