@@ -110,10 +110,16 @@ def evaluate(
     inference_config: Optional[SegModelInferenceConfig] = None,
     verbose: bool = True,
     compute_loss: bool = False,
+    log_dir: Optional[str] = None,
+    log_step: int = 0,
 ):
     """Run eval over ``dataset`` yielding {"image", "label"} host batches;
     returns (mean_iou, per_class_iou) (reference ``evaluation.py:19-90``,
-    which also streams a running loss — enable with ``compute_loss``)."""
+    which also streams a running loss — enable with ``compute_loss``).
+
+    ``log_dir`` writes eval scalars (mIoU, per-class IoU, loss) to a
+    TensorBoard event file + CSV at ``log_step`` (utils.summary), the
+    durable analogue of the reference's TensorBoard callback."""
     num_class = num_class if num_class is not None else model.num_class
     ignore_label = ignore_label if ignore_label is not None else model.ignore_label
 
@@ -167,6 +173,17 @@ def evaluate(
     evaluate.last_num_programs = len(getattr(eval_step, "seen_shapes", ()))
 
     per_class = miou.per_class_iou()
+    if log_dir is not None:
+        from iseg_tpu.utils.summary import ScalarLogger
+
+        logger = ScalarLogger(log_dir)
+        scalars = {"eval/mean_iou": float(miou.result())}
+        if loss_fn is not None and n_batches:
+            scalars["eval/loss"] = loss_sum / n_batches
+        for i, v in enumerate(per_class):
+            scalars[f"eval/iou_class_{i}"] = float(v)
+        logger.log(scalars, log_step)
+        logger.close()
     if verbose:
         print(f"eval done ({n_batches} batches): mIoU={miou.result():.4f}"
               + (f" loss={loss_sum / max(n_batches, 1):.4f}" if loss_fn else ""))

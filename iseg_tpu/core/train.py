@@ -124,6 +124,8 @@ class CoreTrain:
         profiler_dir: str = "/tmp/iseg_tpu_profile",
         profile_steps: int = 5,
         prefetch_to_device: int = 2,
+        log_dir: Optional[str] = None,
+        lr_schedule: Optional[Callable] = None,
     ):
         self.env = env
         self.model = model
@@ -150,6 +152,18 @@ class CoreTrain:
         # overlaps the running step (reference: tf.data prefetch + infeed)
         self.prefetch_to_device = prefetch_to_device
         self._host_step = 0
+        # durable scalar log: TensorBoard event file + CSV under log_dir
+        # (reference wires the Keras TensorBoard callback,
+        # core_train.py:121-126); scalars land at the log_every cadence,
+        # epoch summaries at epoch end
+        self.scalar_logger = None
+        if log_dir is not None:
+            from iseg_tpu.utils.summary import ScalarLogger
+
+            self.scalar_logger = ScalarLogger(log_dir)
+        # optional schedule fn (returned by get_optimizer) so the current
+        # LR is logged alongside the losses
+        self.lr_schedule = lr_schedule
 
     def restore(self):
         """Resume from the latest checkpoint if one exists
@@ -237,6 +251,17 @@ class CoreTrain:
                         f"epoch {epoch} step {step_in_epoch}: loss={loss:.4f}",
                         flush=True,
                     )
+                    if self.scalar_logger is not None:
+                        scalars = {
+                            f"train/{k}": float(v) for k, v in parts.items()
+                        }
+                        if self.lr_schedule is not None:
+                            scalars["train/learning_rate"] = float(
+                                self.lr_schedule(self._host_step))
+                        summ = timer.summary()
+                        if "mean_s" in summ:
+                            scalars["train/step_seconds"] = summ["mean_s"]
+                        self.scalar_logger.log(scalars, self._host_step)
                 if steps_per_epoch and step_in_epoch >= steps_per_epoch:
                     break
             if profiling:  # window spilled past the epoch: close it
@@ -255,6 +280,12 @@ class CoreTrain:
             }
             history.append(record)
             print(f"epoch {epoch} done in {dt:.1f}s: {record}", flush=True)
+            if self.scalar_logger is not None:
+                self.scalar_logger.log(
+                    {f"epoch/{k}": float(v) for k, v in record.items()
+                     if isinstance(v, (int, float))},
+                    self._host_step,
+                )
             if self.checkpoint_manager is not None:
                 self.checkpoint_manager.save(int(self.state.step), self.state)
             if on_epoch_end is not None:
@@ -263,4 +294,6 @@ class CoreTrain:
                 cb.on_epoch_end(epoch, self.state, record)
         for cb in self.callbacks:
             cb.on_train_end(self.state)
+        if self.scalar_logger is not None:
+            self.scalar_logger.close()
         return history
