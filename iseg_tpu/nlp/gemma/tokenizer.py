@@ -7,8 +7,9 @@ packing with start/end tokens + padding masks).
 Backends, resolved lazily by file type and availability:
   - ``*.json`` -> HuggingFace ``tokenizers`` fast format (Gemma publishes
     ``tokenizer.json`` alongside the SentencePiece proto);
-  - ``*.model``/``*.spm`` -> ``sentencepiece`` if importable, else a
-    ``transformers`` slow tokenizer wrapping the same proto;
+  - ``*.model``/``*.spm`` -> ``sentencepiece`` if importable, else the
+    in-tree pure-Python ModelProto reader/encoder (``sp_model.py``:
+    unigram Viterbi + BPE, byte fallback, NormalizerSpec flags);
   - anything else -> a clear error.
 The preprocessor logic is backend-independent; the ``tokenizers`` path is
 exercised end-to-end against a real trained subword vocabulary in
@@ -109,32 +110,11 @@ def _load_backend(proto_path: str):
         return sp
     except ImportError:
         pass
-    try:
-        from transformers import GemmaTokenizer as HFGemmaTokenizer
+    # pure-Python ModelProto reader (sp_model.py): same encode/decode/*_id
+    # protocol as SentencePieceProcessor, no native wheel needed
+    from iseg_tpu.nlp.gemma.sp_model import SentencePieceModel
 
-        hf = HFGemmaTokenizer(vocab_file=proto_path)
-
-        class _HFAdapter:
-            def encode(self, text):
-                return hf.encode(text, add_special_tokens=False)
-
-            def decode(self, ids):
-                return hf.decode(ids)
-
-            def pad_id(self):
-                return hf.pad_token_id or 0
-
-            def bos_id(self):
-                return hf.bos_token_id
-
-            def eos_id(self):
-                return hf.eos_token_id
-
-        return _HFAdapter()
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "neither sentencepiece nor transformers is available"
-        ) from e
+    return SentencePieceModel(proto_path)
 
 
 class GemmaCausalLMPreprocessor:
