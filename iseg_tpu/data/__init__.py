@@ -16,6 +16,7 @@ from iseg_tpu.data.pipeline import (
     AugmentationsPipeline,
     StandardAugmentationsPipeline,
 )
+from iseg_tpu.data.resident import DeviceResidentDataset
 from iseg_tpu.data.shards import (
     ShardReader,
     make_shard_dataset_fn,
@@ -30,6 +31,7 @@ __all__ = [
     "get_mean_pixel",
     "AugmentationsPipeline",
     "StandardAugmentationsPipeline",
+    "DeviceResidentDataset",
     "ShardReader",
     "make_shard_dataset_fn",
     "shard_batches",

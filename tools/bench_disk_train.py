@@ -1,12 +1,16 @@
 """End-to-end disk-fed training benchmark (VERDICT r2 next-round #1).
 
-Headline config (ResNet-50 + ASPP, 512^2, bf16, batch 16, fused loss), but
-fed from PRE-DECODED uint8 SHARDS ON DISK through the full production input
-path:
+Headline config (ResNet-50 + ASPP, 512^2, bf16, batch 16, fused loss), fed
+from PRE-DECODED uint8 SHARDS ON DISK through two production input paths:
 
+default (streaming):
   memmap shard gather (host) -> device_prefetch (host->HBM DMA overlap)
   -> on-device fused augment (random scale/crop/flip) -> input norm
   -> train step
+
+BENCH_MODE=resident (device-resident, for datasets that fit HBM):
+  one-time shard upload -> per-step on-device gather -> fused augment
+  -> input norm -> train step  (zero host->HBM traffic per step)
 
 vs. the synthetic-tensor headline (bench.py). Prints one JSON line per
 config. Run on the TPU host:  python tools/bench_disk_train.py
@@ -108,16 +112,32 @@ def main():
         images = (images.astype(dtype) - 127.5) / 127.5
         return images, labels
 
-    def batches_forever():
-        epoch = 0
-        while True:
-            yield from shard_batches(reader, batch, shuffle=True, seed=0,
-                                     epoch=epoch)
-            epoch += 1
+    resident = os.environ.get("BENCH_MODE") == "resident"
+    if resident:
+        from iseg_tpu.data.resident import DeviceResidentDataset
 
-    it = device_prefetch(
+        t0 = time.perf_counter()
+        ds = DeviceResidentDataset(reader)
+        jax.block_until_ready(ds.images)
+        print(f"# resident upload: {ds.nbytes() / 1e6:.0f} MB in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+        def batches_forever():
+            epoch = 0
+            while True:
+                yield from ds.batches(batch, epoch=epoch, seed=0)
+                epoch += 1
+    else:
+        def batches_forever():
+            epoch = 0
+            while True:
+                yield from shard_batches(reader, batch, shuffle=True, seed=0,
+                                         epoch=epoch)
+                epoch += 1
+
+    it = (iter(batches_forever()) if resident else device_prefetch(
         batches_forever(), lambda b: shard_batch(mesh, b), size=2
-    )
+    ))
 
     def run_steps(n_steps, state):
         host_step = 0
@@ -143,8 +163,10 @@ def main():
         assert loss == loss
         rates.append(batch * steps / dt / jax.device_count())
     rates.sort()
+    metric = ("resnet50_aspp_512_train_from_disk_resident" if resident
+              else "resnet50_aspp_512_train_from_disk_shards")
     print(json.dumps({
-        "metric": "resnet50_aspp_512_train_from_disk_shards",
+        "metric": metric,
         "value": round(rates[len(rates) // 2], 2),
         "unit": "images/sec/chip",
         "reps": reps,
