@@ -9,5 +9,17 @@ rewrites (``backbones/resnet_common.py:561``).
 """
 
 from iseg_tpu.backbones.registry import register_backbone, get_backbone, list_backbones
+from iseg_tpu.backbones.pretrained import (
+    auto_calibrate_dcn,
+    load_pretrained_backbone,
+    name_map_for,
+)
 
-__all__ = ["register_backbone", "get_backbone", "list_backbones"]
+__all__ = [
+    "register_backbone",
+    "get_backbone",
+    "list_backbones",
+    "auto_calibrate_dcn",
+    "load_pretrained_backbone",
+    "name_map_for",
+]

@@ -28,6 +28,7 @@ class InternImageBlock(nn.Module):
     # variant) applies norm1/norm2 AFTER dcn/mlp instead of before
     use_post_norm: bool = False
     dcn_sampling: str = "gather"
+    dcn_max_local_offset: int = 2
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -52,7 +53,9 @@ class InternImageBlock(nn.Module):
                             param_dtype=self.param_dtype, name="mlp_fc2")(h)
 
         dcn = DCNv3(filters=self.dim, groups=self.groups,
-                    sampling=self.dcn_sampling, dtype=self.dtype,
+                    sampling=self.dcn_sampling,
+                    max_local_offset=self.dcn_max_local_offset,
+                    dtype=self.dtype,
                     param_dtype=self.param_dtype, name="dcn")
 
         if self.use_post_norm:
@@ -86,7 +89,12 @@ class InternImage(nn.Module):
     remat: bool = False
     # "dense_local" swaps the XLA-gather sampling for the gather-free
     # bounded-offset fast path (see nn.dcn.DCNv3.sampling)
-    dcn_sampling: str = "gather" 
+    dcn_sampling: str = "gather"
+    dcn_max_local_offset: int = 2
+    # per-block (sampling, max_local_offset) overrides keyed by block name
+    # ("stage{S}_block{I}") — written by backbones.pretrained's automatic
+    # calibration on checkpoint ingest (VERDICT r2 #5); None = uniform
+    dcn_overrides: Any = None
     return_endpoints: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -128,14 +136,19 @@ class InternImage(nn.Module):
                                  param_dtype=self.param_dtype,
                                  name=f"downsample_norm{stage_idx}")(x)
             for i in range(depth):
+                block_name = f"stage{stage_idx}_block{i}"
+                sampling, r = self.dcn_sampling, self.dcn_max_local_offset
+                if self.dcn_overrides and block_name in self.dcn_overrides:
+                    sampling, r = self.dcn_overrides[block_name]
                 x = block_cls(
                     dim=dim, groups=g, mlp_ratio=self.mlp_ratio,
                     drop_path=self.drop_path_rate * block_idx / max(1, total - 1),
                     layer_scale=self.layer_scale,
                     use_post_norm=self.use_post_norm,
-                    dcn_sampling=self.dcn_sampling,
+                    dcn_sampling=sampling,
+                    dcn_max_local_offset=r,
                     dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"stage{stage_idx}_block{i}",
+                    name=block_name,
                 )(x, train)
                 block_idx += 1
             # trailing per-stage LN (reference intern_image_block.py:142-147
