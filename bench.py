@@ -43,23 +43,32 @@ def measured_speedup_estimate(img_per_sec_per_chip: float) -> float:
     return img_per_sec_per_chip / TF_BASELINE_IMG_PER_SEC
 
 
-def bench_sliding():
-    """Sliding-window eval p50: ResNet-50+ASPP over 1024x2048 (Cityscapes
-    geometry), 512^2 windows, stride 2/3 (BASELINE.json config #3)."""
+def bench_sliding(config: str = "resnet"):
+    """Sliding-window eval p50 over 1024x2048 (Cityscapes geometry), 512^2
+    windows, stride 2/3 (BASELINE.json config #3). ``config``:
+    "resnet" = ResNet-50+ASPP; "hrnet" = HRNet-W48+JPU (the BASELINE
+    config #3 model, BENCH_MODE=sliding_hrnet)."""
     from iseg_tpu.backbones import get_backbone
     from iseg_tpu.core.inference import inference_with_sliding_window
     from iseg_tpu.core.model import SegManaged
-    from iseg_tpu.nn.heads import ASPP
+    from iseg_tpu.nn.heads import ASPP, JPU
 
     dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
     hw = (1024, 2048) if jax.devices()[0].platform == "tpu" else (96, 128)
     win = (512, 512) if jax.devices()[0].platform == "tpu" else (64, 64)
 
-    model = SegManaged(
-        num_class=19,
-        backbone=get_backbone("resnet50", output_stride=16, dtype=dtype),
-        head=ASPP(filters=256, dtype=dtype),
-    )
+    if config == "hrnet":
+        model = SegManaged(
+            num_class=19,
+            backbone=get_backbone("hrnet_w48", dtype=dtype),
+            head=JPU(filters=512, dtype=dtype),
+        )
+    else:
+        model = SegManaged(
+            num_class=19,
+            backbone=get_backbone("resnet50", output_stride=16, dtype=dtype),
+            head=ASPP(filters=256, dtype=dtype),
+        )
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, win[0], win[1], 3), dtype))
 
@@ -79,7 +88,8 @@ def bench_sliding():
     times.sort()
     p50 = times[len(times) // 2]
     print(json.dumps({
-        "metric": "resnet50_aspp_sliding_window_1024x2048_eval",
+        "metric": f"{'hrnet_w48_jpu' if config == 'hrnet' else 'resnet50_aspp'}"
+                  "_sliding_window_1024x2048_eval",
         "value": round(p50, 4),
         "unit": "p50_seconds",
         "vs_baseline": round(TF_BASELINE_SLIDING_P50_S / p50, 3),
@@ -99,6 +109,8 @@ def main():
 
     if mode == "sliding":
         return bench_sliding()
+    if mode == "sliding_hrnet":
+        return bench_sliding("hrnet")
 
     from iseg_tpu.backbones import get_backbone
     from iseg_tpu.core.model import SegManaged

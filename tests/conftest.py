@@ -28,6 +28,16 @@ assert jax.device_count() == 8, (
     f"tests require the 8-device virtual CPU platform, got {jax.devices()}"
 )
 
+# persistent compilation cache: XLA:CPU AOT results are reusable across
+# runs in this environment, which turns the compile-dominated suite into
+# an execution-dominated one on reruns (VERDICT r2 weak #6: fast gate
+# must come in under 5 minutes)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/iseg_tpu_xla_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # ---------------------------------------------------------------- markers
 # Long-running tests (>= ~12 s of XLA:CPU compile each, measured with

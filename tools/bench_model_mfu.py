@@ -25,7 +25,7 @@ PEAK_FLOPS = 197e12  # TPU v5e bf16
 def build(config_name: str):
     from iseg_tpu.backbones import get_backbone
     from iseg_tpu.core.model import SegManaged
-    from iseg_tpu.nn.heads import ASPP, SemanticFPN
+    from iseg_tpu.nn.heads import ASPP, JPU, SemanticFPN
 
     dtype = jnp.bfloat16
     if config_name == "resnet":
@@ -53,6 +53,25 @@ def build(config_name: str):
             upsample_logits=False, fuse_upsample_loss=True,
         )
         batch, hw, nc = 8, 512, 19
+    elif config_name == "hrnet":
+        # BASELINE config #3 training geometry (Cityscapes crops)
+        model = SegManaged(
+            num_class=19,
+            backbone=get_backbone("hrnet_w48", dtype=dtype),
+            head=JPU(filters=512, dtype=dtype),
+            upsample_logits=False, fuse_upsample_loss=True,
+        )
+        batch, hw, nc = 8, 512, 19
+    elif config_name == "eva":
+        # BASELINE config #5: EVA02-L, ADE20K classes
+        model = SegManaged(
+            num_class=150,
+            backbone=get_backbone("eva02_large_patch16_512_coco",
+                                  dtype=dtype),
+            head=ASPP(filters=256, dtype=dtype),
+            upsample_logits=False, fuse_upsample_loss=True,
+        )
+        batch, hw, nc = 4, 512, 150
     else:
         raise SystemExit(f"unknown config {config_name}")
     return model, batch, hw, nc
