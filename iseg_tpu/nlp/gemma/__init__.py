@@ -9,6 +9,7 @@ from iseg_tpu.nlp.gemma.causal_lm import GemmaCausalLM
 from iseg_tpu.nlp.gemma.layout import get_layout_map, shard_gemma_params
 from iseg_tpu.nlp.gemma.samplers import (
     BeamSampler,
+    ContrastiveSampler,
     GreedySampler,
     RandomSampler,
     Sampler,
@@ -31,5 +32,6 @@ __all__ = [
     "TopKSampler",
     "TopPSampler",
     "BeamSampler",
+    "ContrastiveSampler",
     "get_sampler",
 ]

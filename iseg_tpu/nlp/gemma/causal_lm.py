@@ -74,13 +74,21 @@ class GemmaCausalLM:
     def call_with_cache(self, variables, token_ids, caches, cache_index, positions):
         """One forward writing k/v at ``cache_index``; attends over the whole
         cache with position-aware masking (reference :186-226)."""
+        logits, new_caches, _ = self._forward_with_cache(
+            variables, token_ids, caches, cache_index, positions)
+        return logits, new_caches
+
+    def _forward_with_cache(self, variables, token_ids, caches, cache_index,
+                            positions):
+        """``call_with_cache`` + the final hidden states (needed by the
+        contrastive sampler's degeneration penalty)."""
         hidden, new_caches = self.backbone.apply(
             variables, token_ids, positions=positions,
             caches=caches, cache_index=cache_index,
         )
         logits = self.backbone.apply(variables, hidden,
                                      method=GemmaBackbone.logits)
-        return logits, new_caches
+        return logits, new_caches, hidden
 
     # -- generation -------------------------------------------------------
     def generate(
@@ -132,9 +140,12 @@ class GemmaCausalLM:
         if fn is None:
             import functools
 
-            impl = (self._generate_beam_impl
-                    if isinstance(sampler, S.BeamSampler)
-                    else self._generate_impl)
+            if isinstance(sampler, S.BeamSampler):
+                impl = self._generate_beam_impl
+            elif isinstance(sampler, S.ContrastiveSampler):
+                impl = self._generate_contrastive_impl
+            else:
+                impl = self._generate_impl
             fn = jax.jit(functools.partial(
                 impl, max_length=max_length, sampler=sampler,
                 end_token_id=end_token_id))
@@ -299,6 +310,103 @@ class GemmaCausalLM:
         return jnp.take_along_axis(
             tokens, best[:, None, None], axis=1
         )[:, 0]
+
+    def _generate_contrastive_impl(
+        self,
+        variables,
+        prompt_ids: jax.Array,
+        prompt_lengths: jax.Array,
+        rng: jax.Array,
+        *,
+        max_length: int,
+        sampler,  # samplers.ContrastiveSampler
+        end_token_id: Optional[int],
+    ) -> jax.Array:
+        """Contrastive search (keras-nlp ``ContrastiveSampler`` semantics):
+        at each step the ``k`` most probable candidates each take one
+        batched cache forward; the winner maximizes
+        ``(1-alpha) * p - alpha * max cos-sim(h_cand, hidden history)``.
+        One compiled prefill+scan program like every other sampler."""
+        del rng  # deterministic given the scores
+        kc, alpha = sampler.k, sampler.alpha
+        b, p = prompt_ids.shape
+        caches = self.build_cache(b, max_length)
+        dense = self._dense_variables(variables, barrier=False)
+
+        positions = jnp.broadcast_to(jnp.arange(p)[None], (b, p))
+        logits, caches, hidden_p = self._forward_with_cache(
+            dense, prompt_ids, caches, 0, positions)
+        dim = hidden_p.shape[-1]
+
+        # hidden-state history: prompt states fill [0, P) (padding rows
+        # beyond each prompt_length are masked out of the penalty)
+        history = jnp.zeros((b, max_length, dim), jnp.float32)
+        history = jax.lax.dynamic_update_slice(
+            history, hidden_p.astype(jnp.float32), (0, 0, 0))
+
+        tokens = jnp.zeros((b, max_length), jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
+
+        last_idx = jnp.clip(prompt_lengths - 1, 0, p - 1)
+        next_logits = jnp.take_along_axis(
+            logits, last_idx[:, None, None], axis=1)[:, 0]
+
+        done0 = jnp.zeros((b,), bool)
+
+        def step(carry, i):
+            tokens, caches, history, next_logits, done = carry
+            probs = jax.nn.softmax(next_logits.astype(jnp.float32), axis=-1)
+            cand_p, cand_ids = jax.lax.top_k(probs, kc)  # [B, k]
+
+            # one batched forward for all candidates (B*k rows share the
+            # tiled cache; only the winner's cache row is kept)
+            caches_k = jnp.repeat(caches, kc, axis=0)
+            pos_i = jnp.full((b * kc, 1), i, jnp.int32)
+            logits_k, caches_k, hidden_k = self._forward_with_cache(
+                self._dense_variables(variables, barrier=True),
+                cand_ids.reshape(b * kc, 1), caches_k, i, pos_i)
+            h_cand = hidden_k[:, 0].reshape(b, kc, dim).astype(jnp.float32)
+
+            # degeneration penalty: max cosine similarity against every
+            # prior hidden state (valid positions < i)
+            h_norm = h_cand / (jnp.linalg.norm(h_cand, axis=-1,
+                                               keepdims=True) + 1e-8)
+            hist_norm = history / (jnp.linalg.norm(history, axis=-1,
+                                                   keepdims=True) + 1e-8)
+            sim = jnp.einsum("bkd,btd->bkt", h_norm, hist_norm)
+            valid = (jnp.arange(max_length)[None] < i)  # [1, T]
+            sim = jnp.where(valid[:, None], sim, -1.0)
+            penalty = jnp.max(sim, axis=-1)  # [B, k]
+
+            score = (1.0 - alpha) * cand_p - alpha * penalty
+            best = jnp.argmax(score, axis=-1)  # [B]
+
+            new_tok = jnp.take_along_axis(cand_ids, best[:, None], axis=1)[:, 0]
+            in_gen = (i >= prompt_lengths) & (~done)
+            cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
+            tok = jnp.where(in_gen, new_tok, cur)
+            tokens2 = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, i))
+            if end_token_id is not None:
+                done = done | (in_gen & (tok == end_token_id))
+
+            # keep the winning candidate's cache / hidden / logits
+            caches_bk = caches_k.reshape(b, kc, *caches.shape[1:])
+            caches2 = jnp.take_along_axis(
+                caches_bk,
+                best.reshape(b, 1, *([1] * (caches.ndim - 1))), axis=1
+            )[:, 0]
+            h_best = jnp.take_along_axis(
+                h_cand, best[:, None, None], axis=1)[:, 0]
+            history2 = jax.lax.dynamic_update_slice(
+                history, h_best[:, None], (0, i, 0))
+            logits_bk = logits_k[:, 0].reshape(b, kc, -1)
+            next_logits2 = jnp.take_along_axis(
+                logits_bk, best[:, None, None], axis=1)[:, 0]
+            return (tokens2, caches2, history2, next_logits2, done), None
+
+        init = (tokens, caches, history, next_logits, done0)
+        (tokens, *_), _ = jax.lax.scan(step, init, jnp.arange(p, max_length))
+        return tokens
 
     def score(self, variables, token_ids):
         """Per-token log-likelihood of ``token_ids``

@@ -109,6 +109,24 @@ class TopPSampler(Sampler):
 
 
 @dataclasses.dataclass(frozen=True)
+class ContrastiveSampler(Sampler):
+    """Contrastive search (keras-nlp ``ContrastiveSampler``; the reference
+    compiles it through the same ``compile(sampler=...)`` seam). Structural:
+    the generate driver re-scores the ``k`` most probable candidates by
+    ``(1 - alpha) * p(candidate) - alpha * max cosine-similarity`` against
+    the hidden-state history (degeneration penalty), which takes one extra
+    batched model step per decode step."""
+
+    k: int = 5
+    alpha: float = 0.6
+
+    def sample(self, logits, key):  # pragma: no cover - driver intercepts
+        raise TypeError(
+            "ContrastiveSampler is handled by the generate driver"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class BeamSampler(Sampler):
     """Beam search (reference ``BeamSampler(num_beams=...)``). Structural:
     handled by ``GemmaCausalLM._generate_beam_impl`` (beam-expanded batch,
@@ -128,6 +146,7 @@ _NAMED = {
     "top_k": TopKSampler,
     "top_p": TopPSampler,
     "beam": BeamSampler,
+    "contrastive": ContrastiveSampler,
 }
 
 

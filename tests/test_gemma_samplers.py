@@ -9,6 +9,7 @@ import pytest
 
 from iseg_tpu.nlp.gemma import (
     BeamSampler,
+    ContrastiveSampler,
     GemmaCausalLM,
     GreedySampler,
     RandomSampler,
@@ -204,6 +205,48 @@ def test_beam_preserves_prompt_and_batch(lm):
     np.testing.assert_array_equal(np.asarray(out[0, :3]), [5, 7, 11])
     np.testing.assert_array_equal(np.asarray(out[1, :2]), [2, 9])
     assert (np.asarray(out) < model.config.vocab_size).all()
+
+
+def test_contrastive_alpha_zero_is_greedy(lm):
+    """With alpha=0 the contrastive score is the raw probability, so the
+    search degenerates to greedy decoding regardless of k."""
+    model, variables = lm
+    prompt = jnp.asarray([[5, 7, 11]], jnp.int32)
+    lengths = jnp.asarray([3])
+    greedy = model.generate(variables, prompt, lengths, max_length=8)
+    contrastive = model.generate(
+        variables, prompt, lengths, max_length=8,
+        sampler=ContrastiveSampler(k=4, alpha=0.0))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(contrastive))
+
+
+def test_contrastive_penalty_changes_output(lm):
+    """With a strong degeneration penalty the chosen continuation may
+    leave the greedy path but must stay a valid top-k candidate stream."""
+    model, variables = lm
+    prompt = jnp.asarray([[9, 2, 4], [5, 7, 11]], jnp.int32)
+    lengths = jnp.asarray([3, 3])
+    out = model.generate(
+        variables, prompt, lengths, max_length=9,
+        sampler=ContrastiveSampler(k=4, alpha=0.9))
+    assert out.shape == (2, 9)
+    np.testing.assert_array_equal(np.asarray(out[0, :3]), [9, 2, 4])
+    assert (np.asarray(out) < model.config.vocab_size).all()
+    # determinism: contrastive search has no randomness
+    out2 = model.generate(
+        variables, prompt, lengths, max_length=9,
+        sampler=ContrastiveSampler(k=4, alpha=0.9))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_contrastive_named_resolution(lm):
+    model, variables = lm
+    prompt = jnp.asarray([[5, 7]], jnp.int32)
+    out = model.generate(variables, prompt, jnp.asarray([2]), max_length=6,
+                         sampler="contrastive")
+    assert out.shape == (1, 6)
+    assert isinstance(get_sampler("contrastive", k=3, alpha=0.5),
+                      ContrastiveSampler)
 
 
 def test_beam_stops_at_end_token(lm):
