@@ -48,7 +48,8 @@ def timeit(fn, *args):
     """One dispatch of a scan chaining ITERS calls with a data dependence."""
 
     def body(carry, _):
-        out = fn(*((args[0] + carry * 1e-6,) + args[1:]))
+        perturbed = args[0] + (carry * 1e-6).astype(args[0].dtype)
+        out = fn(*((perturbed,) + args[1:]))
         return jnp.mean(out.astype(jnp.float32)), None
 
     scan = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0), None,
