@@ -37,9 +37,9 @@ N = WS * WS
 # feature maps pad to window multiples: 128->133(19^2 windows), 64->70,
 # 32->35, 16->21
 STAGES = [
+    ("stage3", 768, 24, 35, 8),  # x18 blocks — the FLOP bulk; probe first
     ("stage1", 192, 6, 133, 8),
     ("stage2", 384, 12, 70, 8),
-    ("stage3", 768, 24, 35, 8),  # x18 blocks — the FLOP bulk
     ("stage4", 1536, 48, 21, 8),
 ]
 
@@ -93,6 +93,60 @@ def run_minbias(q, k, v, bias, mask, nw):
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 
+def run_pallas(q, k, v, bias, mask, nw):
+    """ops/pallas/window_attention (layout [bnw, H, N, D])."""
+    from iseg_tpu.ops.pallas.window_attention import window_attention
+
+    bnw, n, h, d = q.shape
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    bias_h = bias[0]  # [H, N, N]
+    m = (jnp.zeros((1, n, n), jnp.float32) if mask is None
+         else mask.astype(jnp.float32))
+    out = window_attention(qt, kt, vt, bias_h, m, 1.0 / np.sqrt(d), False)
+    return out.transpose(0, 2, 1, 3)
+
+
+def run_blockdiag(q, k, v, bias, mask, nw):
+    """Fold heads into one [H*N, H*N] block-diagonal attention per window:
+    24x redundant FLOPs but MXU-aligned row counts; off-head blocks get
+    -1e9 so the row softmax stays per-head-correct. XLA version (logits
+    materialize in HBM — the Pallas kernel keeps them in VMEM)."""
+    bnw, n, h, d = q.shape
+    hn = h * n
+    # [bnw, HN, D] head-major rows
+    q2 = q.transpose(0, 2, 1, 3).reshape(bnw, hn, d)
+    k2 = k.transpose(0, 2, 1, 3).reshape(bnw, hn, d)
+    v2 = v.transpose(0, 2, 1, 3).reshape(bnw, hn, d)
+    eye = jnp.eye(h, dtype=bool)
+    bias_block = jnp.where(
+        eye[:, None, :, None],
+        bias[0][:, :, None, :].astype(jnp.float32), -1e9
+    ).reshape(hn, hn)
+    logits = jnp.einsum("bqd,bkd->bqk", q2, k2).astype(jnp.float32)
+    logits = logits / np.sqrt(d) + bias_block[None]
+    if mask is not None:
+        tiled = jnp.tile(mask, (1, h, h))  # [nW, HN, HN]
+        logits = logits + tiled[jnp.arange(bnw) % nw]
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bqk,bkd->bqd", p, v2)
+    return out.reshape(bnw, h, n, d).transpose(0, 2, 1, 3)
+
+
+def run_matmul_floor(q, k, v, bias, mask, nw):
+    """Just the two block-diagonal matmuls (no softmax/bias) — the MXU
+    floor the fused kernel builds on."""
+    bnw, n, h, d = q.shape
+    hn = h * n
+    q2 = q.transpose(0, 2, 1, 3).reshape(bnw, hn, d)
+    k2 = k.transpose(0, 2, 1, 3).reshape(bnw, hn, d)
+    v2 = v.transpose(0, 2, 1, 3).reshape(bnw, hn, d)
+    logits = jnp.einsum("bqd,bkd->bqk", q2, k2)
+    return jnp.einsum("bqk,bkd->bqd", logits, v2).reshape(
+        bnw, h, n, d).transpose(0, 2, 1, 3)
+
+
 def run_einsum(q, k, v, bias, mask, nw):
     bnw, n, h, d = q.shape
     b = bnw // nw
@@ -114,6 +168,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     only = sys.argv[1:] or None
+    methods = os.environ.get("METHODS", "current,minbias,einsum").split(",")
+    table = {"current": run_current, "minbias": run_minbias,
+             "einsum": run_einsum, "pallas": run_pallas,
+             "blockdiag": run_blockdiag, "floor": run_matmul_floor}
     for label, dim, heads, grid, batch in STAGES:
         if only and label not in only:
             continue
@@ -122,9 +180,8 @@ def main():
                                                   with_mask)
             tag = f"{label}{'+shift' if with_mask else ''}"
             rows = {}
-            for name, fn in (("current", run_current),
-                             ("minbias", run_minbias),
-                             ("einsum", run_einsum)):
+            for name in methods:
+                fn = table[name]
                 if name == "minbias" and with_mask:
                     continue  # minimal bias can't express per-window masks
                 f = functools.partial(fn, mask=mask, nw=nw)
