@@ -9,5 +9,14 @@ from iseg_tpu.ops.pallas.upsample_ce import (
     upsample_cross_entropy,
     upsample_cross_entropy_reference,
 )
+from iseg_tpu.ops.pallas.window_attention import (
+    window_attention,
+    window_attention_reference,
+)
 
-__all__ = ["upsample_cross_entropy", "upsample_cross_entropy_reference"]
+__all__ = [
+    "upsample_cross_entropy",
+    "upsample_cross_entropy_reference",
+    "window_attention",
+    "window_attention_reference",
+]
