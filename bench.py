@@ -87,16 +87,20 @@ def bench_sliding(config: str = "resnet"):
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
-    print(json.dumps({
+    row = {
         "metric": f"{'hrnet_w48_jpu' if config == 'hrnet' else 'resnet50_aspp'}"
                   "_sliding_window_1024x2048_eval",
         "value": round(p50, 4),
         "unit": "p50_seconds",
-        "vs_baseline": round(TF_BASELINE_SLIDING_P50_S / p50, 3),
         "reps": len(times),
         "min": round(times[0], 4),
         "max": round(times[-1], 4),
-    }))
+    }
+    if config != "hrnet":
+        # the provisional TF sliding estimate is for the ResNet-50+ASPP
+        # config only; a cross-model ratio would be meaningless
+        row["vs_baseline"] = round(TF_BASELINE_SLIDING_P50_S / p50, 3)
+    print(json.dumps(row))
 
 
 def main():

@@ -92,6 +92,7 @@ def load_pretrained_backbone(
     input_size: tuple[int, int] = (64, 64),
     name_map: Union[str, Mapping, Callable, None] = "auto",
     calibrate_dcn: bool = True,
+    calibration_input=None,
     strict: bool = False,
     rng_seed: int = 0,
     **kwargs,
@@ -106,7 +107,13 @@ def load_pretrained_backbone(
 
     ``name_map="auto"`` resolves the family's published-checkpoint name
     table (``core/weight_maps.py``); pass an explicit mapping/callable for
-    custom files, or ``None`` for the heuristic matcher."""
+    custom files, or ``None`` for the heuristic matcher.
+
+    ``calibration_input`` should be a REAL preprocessed sample batch when
+    available — trained offset heads are input-dependent, so measuring on
+    representative data gives the tightest safe clamp. The default is a
+    seeded random batch (plus the calibration margin), which exercises the
+    offset weights; an all-zeros probe would only see the biases."""
     model = get_backbone(name, **kwargs)
     x = jnp.zeros((1, input_size[0], input_size[1], 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(rng_seed), x)
@@ -131,7 +138,15 @@ def load_pretrained_backbone(
         report["weights"] = load_report
 
     if calibrate_dcn:
-        model, calib = auto_calibrate_dcn(model, variables, x)
+        if calibration_input is None:
+            # random probe in normalized-image range: activates the
+            # input-dependent part of the offset heads, unlike zeros
+            calibration_input = jax.random.uniform(
+                jax.random.PRNGKey(rng_seed + 1),
+                (2, input_size[0], input_size[1], 3),
+                minval=-1.0, maxval=1.0)
+        model, calib = auto_calibrate_dcn(model, variables,
+                                          calibration_input)
         if calib:
             report["dcn_calibration"] = calib
     return model, variables, report

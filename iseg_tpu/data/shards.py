@@ -184,11 +184,15 @@ def shard_batches(
     (``device_augment``), quartering host->HBM DMA vs float32. Pod sharding
     mirrors the reference's ``AutoShardPolicy.DATA``
     (``core_train.py:186-195``): every ``num_processes``-th sample of the
-    epoch permutation."""
+    epoch permutation, truncated so every process yields the SAME number
+    of samples — unequal per-process batch counts would deadlock SPMD
+    training at the epoch boundary (one host dispatching a step whose
+    collectives the others never join)."""
     order = np.arange(len(reader))
     if shuffle:
         np.random.default_rng((seed, epoch)).shuffle(order)
-    order = order[process_index::num_processes]
+    per_process = len(order) // num_processes
+    order = order[process_index::num_processes][:per_process]
     for start in range(0, len(order), batch_size):
         chunk = order[start : start + batch_size]
         if len(chunk) < batch_size and drop_remainder:

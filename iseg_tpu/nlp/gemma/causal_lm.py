@@ -130,6 +130,20 @@ class GemmaCausalLM:
                 sampler = S.TopKSampler(k=top_k, temperature=temperature)
             else:
                 sampler = S.RandomSampler(temperature=temperature)
+        elif isinstance(sampler, str):
+            # a named sampler picks up the matching shorthand kwargs
+            # (silently dropping them would sample the wrong distribution)
+            defaults: dict = {}
+            if sampler in ("top_k", "top_p", "random") and temperature > 0:
+                defaults["temperature"] = temperature
+            if sampler == "top_k" and top_k is not None:
+                defaults["k"] = top_k
+            if sampler == "top_p":
+                if top_p is not None:
+                    defaults["p"] = top_p
+                if top_k is not None:
+                    defaults["k"] = top_k
+            sampler = S.get_sampler(sampler, **defaults)
         else:
             sampler = S.get_sampler(sampler)
 
@@ -368,13 +382,18 @@ class GemmaCausalLM:
             h_cand = hidden_k[:, 0].reshape(b, kc, dim).astype(jnp.float32)
 
             # degeneration penalty: max cosine similarity against every
-            # prior hidden state (valid positions < i)
+            # prior hidden state — positions < i, EXCLUDING each sample's
+            # prompt-pad rows [prompt_length, P) whose prefill states are
+            # pad-token artifacts (per-sample mask, so generation does not
+            # depend on batch composition)
             h_norm = h_cand / (jnp.linalg.norm(h_cand, axis=-1,
                                                keepdims=True) + 1e-8)
             hist_norm = history / (jnp.linalg.norm(history, axis=-1,
                                                    keepdims=True) + 1e-8)
             sim = jnp.einsum("bkd,btd->bkt", h_norm, hist_norm)
-            valid = (jnp.arange(max_length)[None] < i)  # [1, T]
+            pos = jnp.arange(max_length)[None]  # [1, T]
+            valid = (pos < i) & (
+                (pos < prompt_lengths[:, None]) | (pos >= p))  # [B, T]
             sim = jnp.where(valid[:, None], sim, -1.0)
             penalty = jnp.max(sim, axis=-1)  # [B, k]
 

@@ -56,9 +56,10 @@ class GemmaTokenizer:
     def _require_backend(self):
         if self._backend is None:
             raise RuntimeError(
-                "GemmaTokenizer needs a SentencePiece model: pass proto_path "
-                "(requires `sentencepiece` or `transformers` to be installed) "
-                "or a custom backend object with encode/decode."
+                "GemmaTokenizer needs a vocabulary: pass proto_path "
+                "(a SentencePiece .model/.spm — read natively, no extra "
+                "install needed — or a HuggingFace tokenizer.json) or a "
+                "custom backend object with encode/decode."
             )
         return self._backend
 

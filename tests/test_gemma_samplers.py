@@ -239,6 +239,41 @@ def test_contrastive_penalty_changes_output(lm):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+def test_contrastive_batch_composition_independent(lm):
+    """Per-sample prompt-length masking: a sample's contrastive output
+    must not change with the other rows in the batch (pad-row prefill
+    states excluded from the penalty)."""
+    model, variables = lm
+    sampler = ContrastiveSampler(k=4, alpha=0.9)
+    solo = model.generate(
+        variables, jnp.asarray([[9, 2, 4]], jnp.int32), jnp.asarray([3]),
+        max_length=8, sampler=sampler)
+    batched = model.generate(
+        variables, jnp.asarray([[9, 2, 4], [5, 0, 0]], jnp.int32),
+        jnp.asarray([3, 1]), max_length=8, sampler=sampler)
+    np.testing.assert_array_equal(np.asarray(solo[0]), np.asarray(batched[0]))
+
+
+def test_named_sampler_picks_up_shorthand_kwargs(lm):
+    """sampler=\"top_k\" + top_k=20/temperature=0.7 must configure the
+    sampler, not silently fall back to defaults."""
+    model, variables = lm
+    model._generate_jit.clear()
+    prompt = jnp.asarray([[5, 7]], jnp.int32)
+    model.generate(variables, prompt, jnp.asarray([2]), max_length=6,
+                   sampler="top_k", top_k=20, temperature=0.7,
+                   rng=jax.random.PRNGKey(0))
+    key = next(k for k in model._generate_jit
+               if isinstance(k[1], TopKSampler))
+    assert key[1].k == 20 and key[1].temperature == 0.7
+    model.generate(variables, prompt, jnp.asarray([2]), max_length=6,
+                   sampler="top_p", top_p=0.8,
+                   rng=jax.random.PRNGKey(0))
+    key = next(k for k in model._generate_jit
+               if isinstance(k[1], TopPSampler))
+    assert key[1].p == 0.8
+
+
 def test_contrastive_named_resolution(lm):
     model, variables = lm
     prompt = jnp.asarray([[5, 7]], jnp.int32)

@@ -68,6 +68,30 @@ def test_batches_are_device_arrays(shard_dir):
     assert batch["image"].dtype == np.uint8
 
 
+def test_pod_partition_disjoint_and_equal(shard_dir):
+    """Each process uploads a disjoint, equal-sized partition; together
+    with local shuffles, no sample is trained twice per epoch across
+    hosts."""
+    reader = ShardReader(shard_dir)
+    seen = []
+    sizes = []
+    for pi in range(2):
+        ds = DeviceResidentDataset(reader, process_index=pi, num_processes=2)
+        sizes.append(ds.num_samples)
+        for batch in ds.batches(1, epoch=0, seed=0):
+            seen.append(np.asarray(batch["image"][0]).tobytes())
+    assert sizes == [5, 5]
+    assert len(set(seen)) == 10  # disjoint and (n even) exhaustive
+
+
+def test_pod_partition_uneven_truncates_equally(shard_dir):
+    reader = ShardReader(shard_dir)  # 10 samples
+    sizes = [DeviceResidentDataset(reader, process_index=pi,
+                                   num_processes=3).num_samples
+             for pi in range(3)]
+    assert sizes == [3, 3, 3]
+
+
 def test_core_train_with_resident_dataset(shard_dir):
     import jax
     import jax.numpy as jnp

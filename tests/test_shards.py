@@ -134,6 +134,21 @@ def test_process_sharding_partitions_epoch(shard_dir):
     assert len(set(seen)) == 10  # disjoint and exhaustive
 
 
+def test_process_sharding_equalizes_step_counts(tmp_path):
+    """Uneven sample counts must NOT give processes different batch counts
+    (SPMD deadlock at the epoch boundary)."""
+    d = str(tmp_path / "odd")
+    write_shards(_SyntheticDataset(n=11), d, store_size=(48, 64),
+                 samples_per_shard=4)
+    reader = ShardReader(d)
+    counts = []
+    for pi in range(2):
+        counts.append(len(list(shard_batches(
+            reader, 2, shuffle=True, seed=0, epoch=0,
+            process_index=pi, num_processes=2))))
+    assert counts[0] == counts[1] == 2  # 11 // 2 = 5 samples -> 2 batches
+
+
 def test_drop_remainder(shard_dir):
     reader = ShardReader(shard_dir)
     assert len(list(shard_batches(reader, 4, drop_remainder=True))) == 2

@@ -30,11 +30,6 @@ SECTIONS = {
                 "import __graft_entry__ as g; g.dryrun_multichip(8)"], 1200),
 }
 
-_SUMMARY_RE = re.compile(
-    r"(?:(\d+) passed)?(?:, )?(?:(\d+) failed)?(?:, )?(?:(\d+) error)?"
-)
-
-
 def parse_pytest_summary(output: str):
     passed = failed = 0
     for line in output.splitlines()[::-1]:
