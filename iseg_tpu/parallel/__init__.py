@@ -17,6 +17,11 @@ from iseg_tpu.parallel.mesh import (
     MODEL_AXIS,
 )
 from iseg_tpu.parallel.collectives import all_reduce_values
+from iseg_tpu.parallel.pipeline import (
+    pipeline_spmd,
+    stack_params,
+    unstack_params,
+)
 
 __all__ = [
     "MeshEnv",
@@ -25,6 +30,9 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "all_reduce_values",
+    "pipeline_spmd",
+    "stack_params",
+    "unstack_params",
     "DATA_AXIS",
     "MODEL_AXIS",
 ]
