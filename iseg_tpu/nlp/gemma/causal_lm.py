@@ -29,10 +29,16 @@ class GemmaCausalLM:
     config: GemmaConfig
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    # sequence parallelism for the full-sequence forwards (__call__ /
+    # score); decode ignores it (single-token steps have no seq to shard)
+    seq_axis: Any = None
+    data_axis: Any = None
 
     def __post_init__(self):
         self.backbone = GemmaBackbone(
-            config=self.config, dtype=self.dtype, param_dtype=self.param_dtype
+            config=self.config, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            seq_axis=self.seq_axis, data_axis=self.data_axis,
         )
         # jitted generate programs, keyed by sampling config (shape changes
         # retrace within each jit entry as usual)

@@ -19,8 +19,20 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.sharding import PartitionSpec as P
+
 from iseg_tpu.nlp.gemma.config import GemmaConfig
 from iseg_tpu.ops.quant import QuantDense, QuantEmbed
+
+
+def _constrain(x, *spec):
+    """``with_sharding_constraint`` shorthand that is a no-op when every
+    axis is unsharded (so the modules stay mesh-free by default). Callers
+    enable sequence parallelism by setting ``seq_axis`` and running under
+    ``jax.set_mesh(mesh)``."""
+    if all(s is None for s in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 class RMSNorm(nn.Module):
@@ -58,11 +70,21 @@ def apply_rope_1d(x: jax.Array, positions: jax.Array,
 
 class GemmaAttention(nn.Module):
     """GQA attention with RoPE + optional KV cache
-    (reference ``gemma_attention.py:24``)."""
+    (reference ``gemma_attention.py:24``).
+
+    ``seq_axis`` (with ``data_axis``) enables sequence parallelism for
+    full-sequence forwards (training / scoring): activations arrive
+    sequence-sharded, q keeps the sequence sharding, and k/v are
+    constrained replicated-over-sequence so GSPMD inserts ONE all-gather
+    per layer for the attention context — the standard allgather-KV
+    context-parallel formulation (a TPU-native addition; the reference
+    has no SP, SURVEY.md §2.2)."""
 
     config: GemmaConfig
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    seq_axis: Any = None
+    data_axis: Any = None
 
     @nn.compact
     def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
@@ -80,6 +102,14 @@ class GemmaAttention(nn.Module):
         q = apply_rope_1d(q, positions, cfg.rope_max_wavelength)
         k = apply_rope_1d(k, positions, cfg.rope_max_wavelength)
         q = q * (d ** -0.5)
+
+        if self.seq_axis is not None and cache is None:
+            # SP: queries stay sequence-sharded; keys/values gather the
+            # full sequence (each device attends its query shard against
+            # the whole context)
+            q = _constrain(q, self.data_axis, self.seq_axis, None, None)
+            k = _constrain(k, self.data_axis, None, None, None)
+            v = _constrain(v, self.data_axis, None, None, None)
 
         new_cache = None
         if cache is not None:
@@ -117,6 +147,8 @@ class GemmaDecoderBlock(nn.Module):
     config: GemmaConfig
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    seq_axis: Any = None
+    data_axis: Any = None
 
     @nn.compact
     def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
@@ -125,9 +157,13 @@ class GemmaDecoderBlock(nn.Module):
                     param_dtype=self.param_dtype, name="pre_attention_norm")(x)
         attn, new_cache = GemmaAttention(
             config=cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            seq_axis=self.seq_axis, data_axis=self.data_axis,
             name="attention",
         )(h, positions, mask=mask, cache=cache, cache_index=cache_index)
         x = x + attn
+        if self.seq_axis is not None and cache is None:
+            # back to sequence-sharded for the (pointwise) FFN
+            x = _constrain(x, self.data_axis, self.seq_axis, None)
 
         h = RMSNorm(epsilon=cfg.layer_norm_epsilon,
                     param_dtype=self.param_dtype, name="pre_ffw_norm")(x)
@@ -161,6 +197,10 @@ class GemmaBackbone(nn.Module):
     config: GemmaConfig
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    # sequence parallelism (training/scoring forwards): shard activations'
+    # sequence dim over this mesh axis; run under jax.set_mesh
+    seq_axis: Any = None
+    data_axis: Any = None
 
     def setup(self):
         cfg = self.config
@@ -170,7 +210,9 @@ class GemmaBackbone(nn.Module):
         )
         self.blocks = [
             GemmaDecoderBlock(config=cfg, dtype=self.dtype,
-                              param_dtype=self.param_dtype, name=f"layer_{i}")
+                              param_dtype=self.param_dtype,
+                              seq_axis=self.seq_axis,
+                              data_axis=self.data_axis, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
         self.final_norm = RMSNorm(epsilon=cfg.layer_norm_epsilon,
@@ -186,6 +228,8 @@ class GemmaBackbone(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
         x = self.token_embedding(token_ids)
         x = x * jnp.asarray(cfg.hidden_dim ** 0.5, x.dtype)
+        if self.seq_axis is not None and caches is None:
+            x = _constrain(x, self.data_axis, self.seq_axis, None)
 
         if mask is None:
             kv_len = caches.shape[3] if caches is not None else t
