@@ -27,10 +27,12 @@ from iseg_tpu.ops.quant import QuantDense, QuantEmbed
 
 def _constrain(x, *spec):
     """``with_sharding_constraint`` shorthand that is a no-op when every
-    axis is unsharded (so the modules stay mesh-free by default). Callers
-    enable sequence parallelism by setting ``seq_axis`` and running under
-    ``jax.set_mesh(mesh)``."""
+    axis is unsharded OR no mesh is in context (so an SP-configured model
+    still inits/runs unsharded). Callers enable sequence parallelism by
+    setting ``seq_axis`` and running under ``jax.set_mesh(mesh)``."""
     if all(s is None for s in spec):
+        return x
+    if jax.sharding.get_abstract_mesh().empty:
         return x
     return jax.lax.with_sharding_constraint(x, P(*spec))
 

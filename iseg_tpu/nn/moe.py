@@ -33,7 +33,11 @@ __all__ = ["MoEFeedForward"]
 
 
 def _constrain(x, *spec):
+    # no-op when unsharded or no mesh in context (so an EP-configured
+    # module still inits/runs unsharded)
     if all(s is None for s in spec):
+        return x
+    if jax.sharding.get_abstract_mesh().empty:
         return x
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
