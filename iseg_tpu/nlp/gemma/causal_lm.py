@@ -30,15 +30,18 @@ class GemmaCausalLM:
     dtype: Any = None
     param_dtype: Any = jnp.float32
     # sequence parallelism for the full-sequence forwards (__call__ /
-    # score); decode ignores it (single-token steps have no seq to shard)
+    # score); decode ignores it (single-token steps have no seq to shard).
+    # sp_mode: "allgather" or "ring" (parallel/ring.py)
     seq_axis: Any = None
     data_axis: Any = None
+    sp_mode: str = "allgather"
 
     def __post_init__(self):
         self.backbone = GemmaBackbone(
             config=self.config, dtype=self.dtype,
             param_dtype=self.param_dtype,
             seq_axis=self.seq_axis, data_axis=self.data_axis,
+            sp_mode=self.sp_mode,
         )
         # jitted generate programs, keyed by sampling config (shape changes
         # retrace within each jit entry as usual)

@@ -80,13 +80,21 @@ class GemmaAttention(nn.Module):
     constrained replicated-over-sequence so GSPMD inserts ONE all-gather
     per layer for the attention context — the standard allgather-KV
     context-parallel formulation (a TPU-native addition; the reference
-    has no SP, SURVEY.md §2.2)."""
+    has no SP, SURVEY.md §2.2).
+
+    ``sp_mode="ring"`` swaps the context path for blockwise ring
+    attention (``parallel/ring.py``): K/V blocks rotate over ``seq_axis``
+    with ``ppermute`` while each device accumulates online-softmax stats
+    for its query shard — O(T/N) resident context and no [T_local, T]
+    score matrix, the long-context formulation. Numerically matches the
+    allgather path; decode (``cache`` set) is unaffected."""
 
     config: GemmaConfig
     dtype: Any = None
     param_dtype: Any = jnp.float32
     seq_axis: Any = None
     data_axis: Any = None
+    sp_mode: str = "allgather"
 
     @nn.compact
     def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
@@ -106,6 +114,32 @@ class GemmaAttention(nn.Module):
         q = q * (d ** -0.5)
 
         if self.seq_axis is not None and cache is None:
+            if (self.sp_mode == "ring"
+                    and not jax.sharding.get_abstract_mesh().empty):
+                if mask is not None:
+                    raise ValueError(
+                        "sp_mode='ring' derives its causal mask from "
+                        "positions; pass mask=None (custom masks need "
+                        "sp_mode='allgather')"
+                    )
+                from iseg_tpu.parallel.ring import ring_attention
+
+                q = _constrain(q, self.data_axis, self.seq_axis, None, None)
+                k = _constrain(k, self.data_axis, self.seq_axis, None, None)
+                v = _constrain(v, self.data_axis, self.seq_axis, None, None)
+                if kvh != h:
+                    k = jnp.repeat(k, h // kvh, axis=2)
+                    v = jnp.repeat(v, h // kvh, axis=2)
+                out = ring_attention(
+                    q, k, v, positions, self.seq_axis,
+                    batch_axis=self.data_axis, causal=True,
+                )
+                out = QuantDense(
+                    cfg.hidden_dim, axis=(-2, -1), use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="attention_output",
+                )(out)
+                return out, None
             # SP: queries stay sequence-sharded; keys/values gather the
             # full sequence (each device attends its query shard against
             # the whole context)
@@ -151,6 +185,7 @@ class GemmaDecoderBlock(nn.Module):
     param_dtype: Any = jnp.float32
     seq_axis: Any = None
     data_axis: Any = None
+    sp_mode: str = "allgather"
 
     @nn.compact
     def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
@@ -160,7 +195,7 @@ class GemmaDecoderBlock(nn.Module):
         attn, new_cache = GemmaAttention(
             config=cfg, dtype=self.dtype, param_dtype=self.param_dtype,
             seq_axis=self.seq_axis, data_axis=self.data_axis,
-            name="attention",
+            sp_mode=self.sp_mode, name="attention",
         )(h, positions, mask=mask, cache=cache, cache_index=cache_index)
         x = x + attn
         if self.seq_axis is not None and cache is None:
@@ -200,9 +235,12 @@ class GemmaBackbone(nn.Module):
     dtype: Any = None
     param_dtype: Any = jnp.float32
     # sequence parallelism (training/scoring forwards): shard activations'
-    # sequence dim over this mesh axis; run under jax.set_mesh
+    # sequence dim over this mesh axis; run under jax.set_mesh.
+    # sp_mode: "allgather" (gather full K/V per layer) or "ring"
+    # (blockwise ppermute context rotation, parallel/ring.py)
     seq_axis: Any = None
     data_axis: Any = None
+    sp_mode: str = "allgather"
 
     def setup(self):
         cfg = self.config
@@ -214,7 +252,8 @@ class GemmaBackbone(nn.Module):
             GemmaDecoderBlock(config=cfg, dtype=self.dtype,
                               param_dtype=self.param_dtype,
                               seq_axis=self.seq_axis,
-                              data_axis=self.data_axis, name=f"layer_{i}")
+                              data_axis=self.data_axis,
+                              sp_mode=self.sp_mode, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
         self.final_norm = RMSNorm(epsilon=cfg.layer_norm_epsilon,
@@ -233,7 +272,16 @@ class GemmaBackbone(nn.Module):
         if self.seq_axis is not None and caches is None:
             x = _constrain(x, self.data_axis, self.seq_axis, None)
 
-        if mask is None:
+        # ring SP derives causal masking from positions inside the kernel;
+        # the [B, 1, T, S] mask tensor is never built (when no mesh is in
+        # context the ring path falls back to dense attention, which does
+        # need the mask)
+        ring_active = (
+            self.seq_axis is not None and self.sp_mode == "ring"
+            and caches is None
+            and not jax.sharding.get_abstract_mesh().empty
+        )
+        if mask is None and not ring_active:
             kv_len = caches.shape[3] if caches is not None else t
             mask = causal_mask(t, positions, kv_len=kv_len)
 

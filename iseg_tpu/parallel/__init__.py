@@ -22,6 +22,8 @@ from iseg_tpu.parallel.pipeline import (
     stack_params,
     unstack_params,
 )
+from iseg_tpu.parallel.ring import ring_attention
+from iseg_tpu.parallel.fsdp import fsdp_spec, fsdp_shardings, shard_fsdp
 
 __all__ = [
     "MeshEnv",
@@ -33,6 +35,10 @@ __all__ = [
     "pipeline_spmd",
     "stack_params",
     "unstack_params",
+    "ring_attention",
+    "fsdp_spec",
+    "fsdp_shardings",
+    "shard_fsdp",
     "DATA_AXIS",
     "MODEL_AXIS",
 ]
