@@ -1,0 +1,87 @@
+"""ZeRO / fully-sharded data parallelism: parameter + optimizer-state
+sharding over the data axis.
+
+The reference replicates the full model and optimizer state on every
+replica (MirroredStrategy / TPUStrategy semantics,
+``distribution/distribution_utils.py:13-95``) — fine for segmentation
+backbones, but a hard wall for large models where optimizer state is 2-3x
+parameter bytes. This module adds the TPU-native equivalent of
+ZeRO-3/FSDP, expressed the GSPMD way: there is no wrapper class and no
+hand-written gather/scatter schedule — parameters and optimizer state are
+simply *placed* sharded over the ``data`` axis, and XLA inserts
+all-gathers at each parameter's use site (fwd and bwd) and reduce-scatters
+for the gradients, overlapping them with compute. One mechanism covers
+ZeRO-1 (shard only the optimizer state: apply :func:`fsdp_shardings` to
+``tx.init(params)`` and keep params replicated) through ZeRO-3/FSDP
+(shard both).
+
+Per-leaf policy: shard the largest dimension divisible by the axis size;
+small leaves (< ``min_size`` elements — biases, norm scales) stay
+replicated, where gather latency would dominate. Any pytree works —
+optimizer states (whose leaves mirror parameter shapes) get the same
+treatment leaf-by-leaf.
+
+Composes with the existing surface: the mesh is the same 2-D
+``(data, model)`` mesh (``parallel/mesh.py``), so FSDP-over-``data``
+stacks with Gemma TP-over-``model`` (``nlp/gemma/layout.py``) exactly
+like production LLM recipes, and with DP vision training unchanged
+(params sharded, batch sharded, same numerics — ``tests/test_fsdp.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from iseg_tpu.parallel.mesh import DATA_AXIS
+
+__all__ = ["fsdp_spec", "fsdp_shardings", "shard_fsdp"]
+
+
+def fsdp_spec(shape, axis_size: int, axis: str = DATA_AXIS,
+              min_size: int = 2 ** 14) -> P:
+    """PartitionSpec sharding the largest ``axis_size``-divisible dim.
+
+    Replicated (empty spec) when every dim is indivisible or the leaf is
+    small (< ``min_size`` elements): gathering a bias costs more in
+    latency than the bytes it saves.
+    """
+    if int(np.prod(shape, dtype=np.int64)) < min_size:
+        return P()
+    best = None
+    for i, d in enumerate(shape):
+        if d % axis_size == 0 and d > 0:
+            if best is None or d > shape[best]:
+                best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = DATA_AXIS,
+                   min_size: int = 2 ** 14) -> Any:
+    """Leaf-wise NamedSharding pytree for params or optimizer state.
+
+    Pass the result as ``in_shardings``/``out_shardings`` of the jitted
+    train step, or to :func:`shard_fsdp` for initial placement. Non-array
+    leaves (e.g. optax count scalars) map to replicated.
+    """
+
+    def _one(x):
+        shape = getattr(x, "shape", ())
+        return NamedSharding(mesh, fsdp_spec(shape, mesh.shape[axis],
+                                             axis=axis, min_size=min_size))
+
+    return jax.tree_util.tree_map(_one, tree)
+
+
+def shard_fsdp(tree: Any, mesh: Mesh, axis: str = DATA_AXIS,
+               min_size: int = 2 ** 14) -> Any:
+    """Place a params / optimizer-state pytree FSDP-sharded on the mesh."""
+    sh = fsdp_shardings(tree, mesh, axis=axis, min_size=min_size)
+    return jax.tree_util.tree_map(jax.device_put, tree, sh)
