@@ -19,19 +19,35 @@ class ModelHelper:
     """Thin orbax CheckpointManager wrapper with the reference's knob
     surface (``modelhelper.py:22-56`` ``model_common_setup``)."""
 
-    def __init__(self, checkpoint_dir: str, max_to_keep: int = 3):
+    def __init__(self, checkpoint_dir: str, max_to_keep: int = 3,
+                 async_save: bool = False):
+        """``async_save=True`` makes ``save()`` return as soon as the
+        device arrays are snapshotted (orbax commits to disk on a
+        background thread), overlapping checkpoint I/O with the next
+        epoch's compute — the TPU-native answer to multi-GB pod
+        checkpoints stalling the step loop. ``wait()`` (called
+        automatically before the next save, at restore, and by
+        ``CoreTrain`` at train end) blocks until the last save is
+        durable."""
         self.checkpoint_dir = os.path.abspath(checkpoint_dir)
+        self.async_save = async_save
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
         self._manager = ocp.CheckpointManager(self.checkpoint_dir, options=options)
 
     def save(self, step: int, state: Any) -> None:
         """Save train state (params/batch_stats/opt_state/step)."""
         self._manager.save(step, args=ocp.args.StandardSave(_arrays_only(state)))
+        if not self.async_save:
+            self._manager.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is committed."""
         self._manager.wait_until_finished()
 
     def restore_latest(self, template_state: Any) -> Optional[Any]:
         """Restore the newest checkpoint into the template's structure,
         or None when no checkpoint exists (reference ``modelhelper.py:125``)."""
+        self._manager.wait_until_finished()  # flush any in-flight save
         step = self._manager.latest_step()
         if step is None:
             return None

@@ -294,6 +294,10 @@ class CoreTrain:
                 cb.on_epoch_end(epoch, self.state, record)
         for cb in self.callbacks:
             cb.on_train_end(self.state)
+        if self.checkpoint_manager is not None and hasattr(
+                self.checkpoint_manager, "wait"):
+            # flush an in-flight async save before returning
+            self.checkpoint_manager.wait()
         if self.scalar_logger is not None:
             self.scalar_logger.close()
         return history

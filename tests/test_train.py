@@ -140,6 +140,29 @@ def test_checkpoint_save_restore(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_async_save_restore(tmp_path):
+    """async_save=True returns before the commit; restore_latest (and
+    wait()) must flush the in-flight save and round-trip exactly."""
+    from iseg_tpu.core.checkpoint import ModelHelper
+
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    tx, _ = get_optimizer(variables["params"], "sgd", learning_rate=0.01, train_steps=10)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+
+    helper = ModelHelper(str(tmp_path / "ckpt"), max_to_keep=2,
+                         async_save=True)
+    state = state.replace(step=state.step + 3)
+    helper.save(3, state)  # returns immediately; commit is in-flight
+    restored = helper.restore_latest(state)
+    assert restored is not None
+    assert int(restored.step) == 3
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    helper.wait()  # idempotent with nothing in flight
+
+
 def test_restore_without_checkpoint_returns_none(tmp_path):
     from iseg_tpu.core.checkpoint import ModelHelper
 
