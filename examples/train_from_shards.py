@@ -105,14 +105,14 @@ def main():
         make_device_augment,
     )
     from iseg_tpu.nn import norm
+    from iseg_tpu.nn.heads import SimpleDecoder
 
     norm.set_bn_momentum(0.9)  # short-run stat settling (verify skill note)
     env = common_env_setup(EnvConfig())
     model = SegManaged(
         num_class=args.num_class,
         backbone=get_backbone("resnet9", output_stride=16),
-        head=__import__("iseg_tpu.nn.heads", fromlist=["SimpleDecoder"])
-        .SimpleDecoder(filters=32, low_level_filters=16),
+        head=SimpleDecoder(filters=32, low_level_filters=16),
     )
     shape = (1, args.crop, args.crop, 3)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape))

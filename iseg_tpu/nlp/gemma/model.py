@@ -19,22 +19,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from jax.sharding import PartitionSpec as P
-
 from iseg_tpu.nlp.gemma.config import GemmaConfig
 from iseg_tpu.ops.quant import QuantDense, QuantEmbed
-
-
-def _constrain(x, *spec):
-    """``with_sharding_constraint`` shorthand that is a no-op when every
-    axis is unsharded OR no mesh is in context (so an SP-configured model
-    still inits/runs unsharded). Callers enable sequence parallelism by
-    setting ``seq_axis`` and running under ``jax.set_mesh(mesh)``."""
-    if all(s is None for s in spec):
-        return x
-    if jax.sharding.get_abstract_mesh().empty:
-        return x
-    return jax.lax.with_sharding_constraint(x, P(*spec))
+from iseg_tpu.parallel.constrain import constrain as _constrain
 
 
 class RMSNorm(nn.Module):
@@ -127,9 +114,8 @@ class GemmaAttention(nn.Module):
                 q = _constrain(q, self.data_axis, self.seq_axis, None, None)
                 k = _constrain(k, self.data_axis, self.seq_axis, None, None)
                 v = _constrain(v, self.data_axis, self.seq_axis, None, None)
-                if kvh != h:
-                    k = jnp.repeat(k, h // kvh, axis=2)
-                    v = jnp.repeat(v, h // kvh, axis=2)
+                # GQA K/V stay at kvh heads: the ring rotates the small
+                # blocks and broadcasts to query heads on-device
                 out = ring_attention(
                     q, k, v, positions, self.seq_axis,
                     batch_axis=self.data_axis, causal=True,

@@ -12,8 +12,10 @@ mesh axis with :func:`iseg_tpu.parallel.pipeline.pipeline_spmd`:
 * embedding, final norm, and the tied-embedding readout are replicated
   (computed identically on every device, outside the shard_map) — they
   are a tiny fraction of the FLOPs and this keeps their gradients simple;
-* positions + causal mask ride the pipeline as per-microbatch constants
-  (indexed locally, never ppermuted);
+* only the [B, T] positions ride the pipeline as per-microbatch
+  constants (indexed locally, never ppermuted); each stage rebuilds the
+  [mb, 1, T, T] causal mask per microbatch on the fly, so the O(B*T^2)
+  mask bytes are transient, never a resident replicated stack;
 * the whole thing is differentiable, so one ``jax.value_and_grad`` gives
   a pipeline-parallel train step whose per-stage grads live on the stage
   owner. Compose with DP via ``batch_axis`` on a 2-D ``(data, stage)``
@@ -114,7 +116,11 @@ def make_pp_loss_fn(
     )
 
     def stage_fn(p_stage, hidden, const):
-        positions, mask = const
+        # const carries only the [mb, T] positions; the [mb, 1, T, T]
+        # causal mask is built per-microbatch HERE so no [M, mb, 1, T, T]
+        # mask stack (O(B*T^2) bytes) ever rides the replicated const
+        positions = const
+        mask = causal_mask(positions.shape[1], positions)
 
         def body(h, p_layer):
             out, _ = block.apply(
@@ -132,12 +138,11 @@ def make_pp_loss_fn(
     def loss_fn(staged, shared, token_ids, weights):
         b, t = token_ids.shape
         positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
-        mask = causal_mask(t, positions)
 
         x = embed.apply({"params": shared["token_embedding"]}, token_ids)
         x = x * jnp.asarray(config.hidden_dim ** 0.5, x.dtype)
 
-        x = pp(staged, x, const=(positions, mask))
+        x = pp(staged, x, const=positions)
 
         x = final_norm.apply({"params": shared["final_normalization"]}, x)
         logits = embed.apply(

@@ -12,7 +12,8 @@ weights and the dispatched activations over a mesh axis — GSPMD inserts
 the all-to-alls. No ragged ops, no host-side routing, fully jittable and
 differentiable.
 
-* top-k routing (k=1 Switch, k=2 GShard) with renormalized gates;
+* top-k routing: k=1 Switch (raw router prob as the gate, task-trainable
+  router) or k>=2 GShard (gates renormalized over the selected k);
 * fixed per-expert capacity ``ceil(k * tokens / experts) * factor``;
   overflow tokens are dropped (their combine weight is zero), matching
   the standard formulation;
@@ -22,24 +23,16 @@ differentiable.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+
+from iseg_tpu.parallel.constrain import constrain as _constrain
 
 __all__ = ["MoEFeedForward"]
-
-
-def _constrain(x, *spec):
-    # no-op when unsharded or no mesh in context (so an EP-configured
-    # module still inits/runs unsharded)
-    if all(s is None for s in spec):
-        return x
-    if jax.sharding.get_abstract_mesh().empty:
-        return x
-    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 def topk_dispatch(probs: jax.Array, k: int, capacity: int):
@@ -76,8 +69,13 @@ def topk_dispatch(probs: jax.Array, k: int, capacity: int):
         remaining = remaining * (1 - mask.astype(remaining.dtype))
 
     gate_stack = jnp.stack(gates, axis=1)  # [G, k]
-    denom = jnp.maximum(jnp.sum(gate_stack, axis=1, keepdims=True), 1e-9)
-    gate_stack = gate_stack / denom  # renormalize over the selected k
+    if k > 1:
+        # GShard: renormalize over the selected k
+        denom = jnp.maximum(jnp.sum(gate_stack, axis=1, keepdims=True), 1e-9)
+        gate_stack = gate_stack / denom
+    # k == 1 keeps the RAW router prob (Switch eq. 2): renormalizing a
+    # single gate yields the constant 1, which kills the router's task
+    # gradient — the prob multiplier is what makes routing task-trainable
 
     combine = jnp.zeros((g, e, capacity), probs.dtype)
     for i in range(k):
@@ -115,9 +113,7 @@ class MoEFeedForward(nn.Module):
         xt = x.reshape(-1, d)
         g = xt.shape[0]
         e, ff = self.num_experts, self.d_ff
-        capacity = max(
-            1, int(self.capacity_factor * self.k * g / e + 0.999999)
-        )
+        capacity = max(1, math.ceil(self.capacity_factor * self.k * g / e))
 
         wg = self.param("router", nn.initializers.lecun_normal(),
                         (d, e), self.param_dtype)

@@ -26,6 +26,15 @@ Design (the idiomatic JAX/TPU formulation, not a runtime scheduler):
 
 Bubble fraction is the usual (S-1)/(M+S-1); choose ``num_microbatches``
 a few multiples of the stage count.
+
+Memory note: what shards over stages is the *weights* and the per-layer
+backward residuals (each device saves activations only for its own
+stage's layers — the dominant activation term, scaling 1/S). The
+microbatch input stack, per-microbatch constants, and output bank are
+replicated on every stage device (shard_map replicated specs) — a
+constant ~2 extra copies of ONE layer-boundary activation, independent
+of depth. Keep ``const`` small (indices/positions, not precomputed
+masks — see ``nlp/gemma/pipeline.py``'s in-stage mask build).
 """
 
 from __future__ import annotations

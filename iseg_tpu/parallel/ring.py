@@ -13,7 +13,8 @@ attention scales past per-device HBM on TPU: compute on block ``i``
 overlaps the ICI transfer of block ``i+1``, and no [T, T] (or even
 [T_local, T]) score matrix ever materializes.
 
-Memory: per step the device holds one K/V block ([B, T/N, H, D]) plus
+Memory: per step the device holds one K/V block ([B, T/N, KVH, D] — GQA
+blocks rotate at the KV-head count, not the query-head count) plus
 running (m, l, acc) statistics. The backward pass re-runs the ring
 (autodiff through the ``lax.scan``; the per-step body is ``jax.checkpoint``
 -ed so score/prob matrices are recomputed, not stored) — residuals are
@@ -43,15 +44,23 @@ _NEG = jnp.float32(-1e30)
 
 def _ring_device_program(q, k, v, q_pos, kv_pos, *, axis: str, n: int,
                          causal: bool):
-    """Per-device body (inside shard_map). q/k/v: [B, Tl, H, D] local
-    shards; q_pos/kv_pos: [B, Tl] global positions of the local tokens.
-    Returns [B, Tl, H, D] attention output for the local queries."""
+    """Per-device body (inside shard_map). q: [B, Tl, H, D]; k/v:
+    [B, Tl, KVH, D] local shards with KVH dividing H (GQA — the
+    *unrepeated* blocks rotate, so ICI bytes and resident context stay
+    at the KV-head count); q_pos/kv_pos: [B, Tl] global positions of the
+    local tokens. Returns [B, Tl, H, D] output for the local queries."""
     b, tl, h, d = q.shape
+    kvh = k.shape[2]
+    rep = h // kvh
     qf = q.astype(jnp.float32)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def block(qf, k_c, v_c, kvp_c, m, l, acc):
-        # scores for the local queries against the current K/V block
+        # scores for the local queries against the current K/V block;
+        # GQA repeat happens here, on the transient block only
+        if rep > 1:
+            k_c = jnp.repeat(k_c, rep, axis=2)
+            v_c = jnp.repeat(v_c, rep, axis=2)
         s = jnp.einsum("bthd,bshd->bhts", qf, k_c.astype(jnp.float32))
         if causal:
             allowed = kvp_c[:, None, None, :] <= q_pos[:, None, :, None]
@@ -104,11 +113,13 @@ def ring_attention(
 ) -> jax.Array:
     """Context-parallel attention for sequence-sharded global arrays.
 
-    ``q``/``k``/``v``: [B, T, H, D] with the T axis sharded over ``axis``
-    (K/V already repeated to the full head count for GQA). ``positions``:
-    [B, T] global token positions (the causal mask is
-    ``kv_pos <= q_pos``, matching ``nlp/gemma/model.py causal_mask``).
-    The caller pre-scales ``q`` (e.g. by ``head_dim ** -0.5``).
+    ``q``: [B, T, H, D]; ``k``/``v``: [B, T, KVH, D] with KVH dividing H
+    (pass the raw GQA KV heads — blocks rotate unrepeated and are
+    broadcast to the query heads per-block on-device). The T axis is
+    sharded over ``axis``. ``positions``: [B, T] global token positions
+    (the causal mask is ``kv_pos <= q_pos``, matching
+    ``nlp/gemma/model.py causal_mask``). The caller pre-scales ``q``
+    (e.g. by ``head_dim ** -0.5``).
 
     Runs on the ambient mesh (``jax.set_mesh``) unless ``mesh`` is given;
     ``batch_axis`` shards B for DP composition. Softmax/accumulation in
@@ -122,6 +133,21 @@ def ring_attention(
                 "jax.set_mesh(mesh)"
             )
     n = mesh.shape[axis]
+    b, t, h, _ = q.shape
+    if t % n != 0:
+        raise ValueError(
+            f"sequence length {t} is not divisible by the {axis}-axis "
+            f"size {n}; pad the sequence to a multiple of the ring size"
+        )
+    if k.shape[2] == 0 or h % k.shape[2] != 0:
+        raise ValueError(
+            f"query heads {h} must be a multiple of kv heads {k.shape[2]}"
+        )
+    if batch_axis is not None and b % mesh.shape[batch_axis] != 0:
+        raise ValueError(
+            f"batch {b} is not divisible by the {batch_axis}-axis size "
+            f"{mesh.shape[batch_axis]}"
+        )
     if kv_positions is None:
         kv_positions = positions
     qkv_spec = P(batch_axis, axis, None, None)

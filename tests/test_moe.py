@@ -15,7 +15,9 @@ def _mesh(shape, names):
 
 
 def _dense_reference(params, x, k):
-    """Per-token dense evaluation of the same routing (no capacity)."""
+    """Per-token dense evaluation of the same routing (no capacity).
+    k=1 uses the raw router prob as the gate (Switch eq. 2); k>1
+    renormalizes over the selected k (GShard)."""
     wg, w1, w2 = params["router"], params["w1"], params["w2"]
     probs = jax.nn.softmax(x.astype(jnp.float32) @ wg, axis=-1)
     out = np.zeros_like(np.asarray(x))
@@ -24,7 +26,8 @@ def _dense_reference(params, x, k):
         order = np.argsort(-probs_np[g])
         chosen = order[:k]
         gates = probs_np[g, chosen]
-        gates = gates / gates.sum()
+        if k > 1:
+            gates = gates / gates.sum()
         for gate, e in zip(gates, chosen):
             h = jax.nn.gelu(x[g] @ w1[e])
             out[g] += gate * np.asarray(h @ w2[e])
@@ -117,6 +120,27 @@ def test_moe_expert_parallel_matches_and_has_collectives():
     assert any(c in hlo for c in ("all-to-all", "all-gather",
                                   "collective-permute", "all-reduce")), (
         "EP run compiled without any cross-device collective"
+    )
+
+
+def test_moe_k1_router_gets_task_gradient():
+    """Switch (k=1) gating must keep the raw router prob as the combine
+    weight: the router's task-loss gradient is nonzero (renormalizing a
+    single gate to 1 would sever it)."""
+    rng = np.random.RandomState(7)
+    g, d, e, ff = 64, 8, 4, 16
+    x = jnp.asarray(rng.randn(g, d), jnp.float32)
+    moe = MoEFeedForward(num_experts=e, d_ff=ff, k=1, capacity_factor=2.0)
+    variables = moe.init(jax.random.PRNGKey(0), x)
+
+    def task_loss(p):
+        y, _ = moe.apply({"params": p}, x)  # NO aux-loss term
+        return jnp.mean((y - x) ** 2)
+
+    grads = jax.grad(task_loss)(variables["params"])
+    router_grad = np.abs(np.asarray(grads["router"])).max()
+    assert router_grad > 1e-6, (
+        f"k=1 router task gradient is dead: max |grad| = {router_grad}"
     )
 
 

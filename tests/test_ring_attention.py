@@ -61,6 +61,46 @@ def test_ring_matches_dense(qkv, causal):
     )
 
 
+def test_ring_gqa_blocks_rotate_unrepeated(qkv):
+    """GQA: kv heads < query heads — the ring takes the raw kvh-headed
+    K/V (rotating the small blocks) and must match dense attention with
+    the conventional pre-repeat."""
+    q, _, _, pos = qkv
+    rng = np.random.RandomState(3)
+    b, t, h, d = q.shape
+    kvh = h // 2
+    k = jnp.asarray(rng.randn(b, t, kvh, d), jnp.float32) * 0.5
+    v = jnp.asarray(rng.randn(b, t, kvh, d), jnp.float32)
+    k_rep = jnp.repeat(k, 2, axis=2)
+    v_rep = jnp.repeat(v, 2, axis=2)
+
+    mesh = _mesh((2, 4), ("data", "model"))
+    with jax.set_mesh(mesh):
+        sh4 = NamedSharding(mesh, P("data", "model", None, None))
+        qs = jax.device_put(q, sh4)
+        ks = jax.device_put(k, sh4)
+        vs = jax.device_put(v, sh4)
+        ps = jax.device_put(pos, NamedSharding(mesh, P("data", "model")))
+        got = jax.jit(
+            lambda q, k, v, p: ring_attention(
+                q, k, v, p, "model", batch_axis="data", causal=True
+            )
+        )(qs, ks, vs, ps)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_dense_ref(q, k_rep, v_rep, True)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_ring_rejects_indivisible_seq(qkv):
+    q, k, v, pos = qkv
+    mesh = _mesh((1, 8), ("data", "model"))
+    with jax.set_mesh(mesh):
+        with pytest.raises(ValueError, match="not divisible"):
+            ring_attention(q[:, :30], k[:, :30], v[:, :30], pos[:, :30],
+                           "model")
+
+
 def test_ring_grads_match_dense(qkv):
     q, k, v, pos = qkv
     mesh = _mesh((1, 8), ("data", "model"))
