@@ -6,9 +6,14 @@ Parity with the reference ``nlp/gemma/``: ``gemma_backbone.py:33``
 ``gemma_attention.py:24`` (attention with RoPE :96 and KV cache :116-151),
 ``rms_normalization.py:19``.
 
-TPU-first: attention uses ``jax.nn.dot_product_attention`` for the prefill
-path; the single-token decode path uses explicit einsums against the cache
-(cache layout [B, L, 2, max_len, kv_heads, head_dim] sliced per layer).
+TPU-first: the full-sequence (no-cache) path uses XLA's fused
+``jax.nn.dot_product_attention`` at T >= ``DPA_MIN_SEQLEN`` — native GQA
+(K/V stay at kv_heads, no repeat) and no materialized [B, H, T, T] f32
+logits; measured 20-25% faster fwd+bwd than the einsum chain at 2B/7B
+T=4096 geometry, while the einsum chain stays ahead below ~2k tokens
+(BENCH_NOTES round 3, ``tools/probe_gemma_attention.py``). The decode
+path uses explicit einsums against the cache (cache layout
+[B, L, 2, max_len, kv_heads, head_dim] sliced per layer).
 """
 
 from __future__ import annotations
@@ -22,6 +27,13 @@ import jax.numpy as jnp
 from iseg_tpu.nlp.gemma.config import GemmaConfig
 from iseg_tpu.ops.quant import QuantDense, QuantEmbed
 from iseg_tpu.parallel.constrain import constrain as _constrain
+
+# Static (trace-time) sequence-length threshold above which the no-cache
+# attention path switches from the einsum chain to XLA's fused
+# ``jax.nn.dot_product_attention``. Crossover measured on TPU v5e
+# (tools/probe_gemma_attention.py): einsum wins ~10% at T=1024, dpa wins
+# 20-25% at T=4096. Tests pin this to exercise both paths.
+DPA_MIN_SEQLEN = 2048
 
 
 class RMSNorm(nn.Module):
@@ -144,18 +156,24 @@ class GemmaAttention(nn.Module):
             new_cache = jnp.stack([ck, cv], axis=1)
             k, v = ck, cv  # attend over the full cache
 
-        # GQA: repeat kv heads up to query heads
-        if kvh != h:
-            rep = h // kvh
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
+        if cache is None and q.shape[1] >= DPA_MIN_SEQLEN:
+            # XLA fused attention: native GQA (no kv repeat), no
+            # materialized [B, H, T, T] f32 logits. q is pre-scaled.
+            out = jax.nn.dot_product_attention(q, k, v, mask=mask,
+                                               scale=1.0)
+        else:
+            # GQA: repeat kv heads up to query heads
+            if kvh != h:
+                rep = h // kvh
+                k = jnp.repeat(k, rep, axis=2)
+                v = jnp.repeat(v, rep, axis=2)
 
-        logits = jnp.einsum("bthd,bshd->bhts", q, k,
-                            preferred_element_type=jnp.float32)
-        if mask is not None:
-            logits = jnp.where(mask, logits, jnp.float32(-1e9))
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v)
+            logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                                preferred_element_type=jnp.float32)
+            if mask is not None:
+                logits = jnp.where(mask, logits, jnp.float32(-1e9))
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v)
         out = QuantDense(cfg.hidden_dim, axis=(-2, -1), use_bias=False,
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="attention_output")(out)

@@ -122,3 +122,21 @@ def test_preset_names_match_reference():
         assert name in GEMMA_PRESETS
     assert get_preset("gemma_instruct_2b_en") == get_preset("gemma_2b_en")
     assert get_preset("gemma_instruct_7b_en") == get_preset("gemma_7b_en")
+
+
+def test_dpa_path_matches_einsum(lm, monkeypatch):
+    """The fused dot_product_attention path (T >= DPA_MIN_SEQLEN) must
+    reproduce the einsum chain (probe: tools/probe_gemma_attention.py)."""
+    from iseg_tpu.nlp.gemma import model as model_mod
+
+    model, variables = lm
+    ids = jnp.asarray(
+        np.random.RandomState(1).randint(1, 500, (2, 6)), jnp.int32)
+
+    monkeypatch.setattr(model_mod, "DPA_MIN_SEQLEN", 10 ** 9)
+    ref = np.asarray(model(variables, ids))
+
+    monkeypatch.setattr(model_mod, "DPA_MIN_SEQLEN", 1)
+    got = np.asarray(model(variables, ids))
+
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
