@@ -70,10 +70,18 @@ class ModelHelper:
 
 
 def _arrays_only(state) -> dict:
-    """Strip non-pytree fields (apply_fn/tx) for serialization."""
-    return {
+    """Strip non-pytree fields (apply_fn/tx) for serialization.
+
+    ``ema_params`` rides along only when EMA is enabled on the state —
+    save and restore templates stay symmetric, so checkpoints written
+    without EMA restore into non-EMA states (enable EMA from step 0 of a
+    run, not mid-resume)."""
+    out = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    if getattr(state, "ema_params", None) is not None:
+        out["ema_params"] = state.ema_params
+    return out

@@ -321,3 +321,29 @@ def get_multi_optimizer(
         lambda path, leaf: label_fn(_path_str(path)), params
     )
     return optax.multi_transform(optimizers, labels)
+
+
+def with_grad_accum(
+    tx: optax.GradientTransformation, every: int
+) -> optax.GradientTransformation:
+    """Gradient accumulation: apply ``tx`` once per ``every`` micro-steps.
+
+    Beyond-reference production feature (the reference has no
+    accumulation anywhere): wraps ``tx`` in ``optax.MultiSteps``, which
+    keeps a running MEAN of the micro-batch gradients and emits zero
+    updates in between — so ``every`` micro-batches of size B are
+    numerically one step at global batch ``every * B`` (for a
+    per-sample-mean loss), with no extra HBM beyond one grad-shaped
+    accumulator. The accumulator leaves mirror parameter shapes, so
+    ZeRO/FSDP opt-state sharding (``parallel/fsdp.py``) applies
+    leaf-by-leaf unchanged.
+
+    Notes: LR schedules inside ``tx`` count REAL updates (they advance
+    once per ``every`` micro-steps); BN batch_stats still update every
+    micro-step, matching small-batch BN semantics.
+    """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    if every == 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=every).gradient_transformation()

@@ -32,10 +32,24 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
     apply_fn: Callable = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # optional exponential moving average of params (beyond-reference
+    # production feature): tracked inside the jitted step, used for eval
+    # via ``eval_variables()``. None when disabled.
+    ema_params: Any = None
+    ema_decay: Optional[float] = flax.struct.field(
+        pytree_node=False, default=None)
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if self.ema_params is not None:
+            d = jnp.asarray(self.ema_decay, jnp.float32)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: (e * d + (1.0 - d) * p.astype(e.dtype)).astype(
+                    e.dtype),
+                self.ema_params, new_params,
+            )
         return self.replace(
             step=self.step + 1,
             params=new_params,
@@ -43,7 +57,14 @@ class TrainState(flax.struct.PyTreeNode):
             batch_stats=(
                 new_batch_stats if new_batch_stats is not None else self.batch_stats
             ),
+            ema_params=new_ema,
         )
+
+    def eval_variables(self) -> dict:
+        """Variables dict for evaluation/prediction: EMA params when
+        tracked, else the raw params, plus BN running stats."""
+        params = self.ema_params if self.ema_params is not None else self.params
+        return {"params": params, "batch_stats": self.batch_stats}
 
 
 def create_train_state(
@@ -52,9 +73,13 @@ def create_train_state(
     input_shape: tuple[int, ...],
     tx: optax.GradientTransformation,
     input_dtype=jnp.float32,
+    ema_decay: Optional[float] = None,
 ) -> TrainState:
     """Init variables with a dummy forward pass (the reference builds
-    backbones the same way, ``backbones/feature_extractor.py:153-164``)."""
+    backbones the same way, ``backbones/feature_extractor.py:153-164``).
+
+    ``ema_decay`` (e.g. 0.999) enables a params EMA updated every
+    optimizer step, initialized to the initial params."""
     dummy = jnp.zeros(input_shape, input_dtype)
     variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
     params = variables["params"]
@@ -66,6 +91,9 @@ def create_train_state(
         opt_state=tx.init(params),
         apply_fn=model.apply,
         tx=tx,
+        ema_params=(jax.tree_util.tree_map(jnp.asarray, params)
+                    if ema_decay is not None else None),
+        ema_decay=ema_decay,
     )
 
 
@@ -126,12 +154,14 @@ class CoreTrain:
         prefetch_to_device: int = 2,
         log_dir: Optional[str] = None,
         lr_schedule: Optional[Callable] = None,
+        ema_decay: Optional[float] = None,
     ):
         self.env = env
         self.model = model
         self.loss_fn = loss_fn or model.build_loss_fn()
         self.rng = jax.random.PRNGKey(seed)
-        self.state = create_train_state(model, self.rng, input_shape, tx)
+        self.state = create_train_state(model, self.rng, input_shape, tx,
+                                        ema_decay=ema_decay)
         self.train_step = make_train_step(self.loss_fn)
         self.checkpoint_manager = checkpoint_manager
         self.log_every = log_every

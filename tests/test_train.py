@@ -168,3 +168,122 @@ def test_restore_without_checkpoint_returns_none(tmp_path):
 
     helper = ModelHelper(str(tmp_path / "empty"))
     assert helper.restore_latest(None) is None
+
+
+def test_grad_accum_matches_big_batch():
+    """with_grad_accum(every=k): k micro-steps must apply NOTHING for the
+    first k-1, then one update equal to a step on the concatenated batch.
+
+    Exact-equivalence check on a batch-independent (BN-free) model — BN
+    couples grads to the micro-batch statistics, which is the documented
+    small-batch semantics under accumulation, not an accumulation bug."""
+    import flax.linen as nn
+    import optax
+
+    from iseg_tpu.core.optimizer import with_grad_accum
+
+    class LinearModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(4)(x)
+
+    def loss_fn(outputs, labels):
+        loss = jnp.mean((outputs - labels) ** 2)
+        return loss, {"loss": loss}
+
+    model = LinearModel()
+    state_rng = jax.random.PRNGKey(0)
+    rngs = np.random.RandomState(0)
+    big = {
+        "image": jnp.asarray(rngs.rand(8, 16), jnp.float32),
+        "label": jnp.asarray(rngs.rand(8, 4), jnp.float32),
+    }
+    micro = [
+        {k: v[i * 2 : (i + 1) * 2] for k, v in big.items()} for i in range(4)
+    ]
+    rng = jax.random.PRNGKey(7)
+
+    step = make_train_step(loss_fn, donate=False)
+
+    state_a = create_train_state(
+        model, state_rng, (2, 16), with_grad_accum(optax.sgd(0.5), 4))
+    p0 = np.asarray(jax.tree_util.tree_leaves(state_a.params)[0])
+    for i, b in enumerate(micro):
+        state_a, _ = step(state_a, b, rng)
+        if i < 3:  # mid-accumulation: params must be untouched
+            np.testing.assert_array_equal(
+                np.asarray(jax.tree_util.tree_leaves(state_a.params)[0]), p0)
+
+    state_b = create_train_state(model, state_rng, (2, 16), optax.sgd(0.5))
+    state_b, _ = step(state_b, big, rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_validates_and_passthrough():
+    import optax
+
+    from iseg_tpu.core.optimizer import with_grad_accum
+
+    base = optax.sgd(0.1)
+    assert with_grad_accum(base, 1) is base
+    with pytest.raises(ValueError):
+        with_grad_accum(base, 0)
+
+
+def test_ema_params_track_and_eval(tmp_path):
+    """EMA: e_{t} = d*e_{t-1} + (1-d)*p_t, exposed via eval_variables();
+    survives an orbax checkpoint round-trip."""
+    import optax
+
+    model = _tiny_model()
+    state_rng = jax.random.PRNGKey(0)
+    tx = optax.sgd(0.1)
+    state = create_train_state(model, state_rng, (2, 32, 32, 3), tx,
+                               ema_decay=0.9)
+    step = make_train_step(model.build_loss_fn(), donate=False)
+
+    # manual recurrence tracked host-side on one leaf
+    leaf_path = jax.tree_util.tree_leaves_with_path(state.params)[0][0]
+    get_leaf = lambda tree: jax.tree_util.tree_leaves(tree)[0]
+    ema_manual = np.asarray(get_leaf(state.params), np.float64)
+
+    batch = {k: jnp.asarray(v) for k, v in _batch(n=2).items()}
+    rng = jax.random.PRNGKey(3)
+    for _ in range(3):
+        state, _ = step(state, batch, rng)
+        ema_manual = 0.9 * ema_manual + 0.1 * np.asarray(
+            get_leaf(state.params), np.float64)
+
+    np.testing.assert_allclose(
+        np.asarray(get_leaf(state.ema_params)), ema_manual,
+        rtol=1e-5, atol=1e-6)
+
+    ev = state.eval_variables()
+    assert ev["params"] is state.ema_params
+
+    # checkpoint round-trip keeps the EMA leaves
+    from iseg_tpu.core.checkpoint import ModelHelper
+
+    helper = ModelHelper(str(tmp_path / "ckpt"))
+    helper.save(int(state.step), state)
+    helper.wait()
+    fresh = create_train_state(model, state_rng, (2, 32, 32, 3), tx,
+                               ema_decay=0.9)
+    restored = helper.restore_latest(fresh)
+    np.testing.assert_allclose(
+        np.asarray(get_leaf(restored.ema_params)),
+        np.asarray(get_leaf(state.ema_params)), rtol=0, atol=0)
+
+
+def test_no_ema_by_default():
+    import optax
+
+    model = _tiny_model()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (2, 32, 32, 3), optax.sgd(0.1))
+    assert state.ema_params is None
+    assert state.eval_variables()["params"] is state.params
