@@ -51,9 +51,27 @@ class ModelHelper:
         step = self._manager.latest_step()
         if step is None:
             return None
-        restored = self._manager.restore(
-            step, args=ocp.args.StandardRestore(_arrays_only(template_state))
-        )
+        template = _arrays_only(template_state)
+        try:
+            restored = self._manager.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except Exception:
+            if "ema_params" not in template:
+                raise
+            # enabling EMA mid-run: the on-disk checkpoint predates EMA and
+            # has no ema_params item — restore everything else and seed the
+            # EMA from the restored params (the same initialization
+            # create_train_state uses at step 0)
+            slim = {k: v for k, v in template.items() if k != "ema_params"}
+            restored = dict(
+                self._manager.restore(
+                    step, args=ocp.args.StandardRestore(slim)
+                )
+            )
+            restored["ema_params"] = jax.tree_util.tree_map(
+                lambda x: x, restored["params"]
+            )
         # return UNCOMMITTED arrays: orbax pins restored buffers to specific
         # devices, which conflicts with mesh-sharded batches at the next jit
         # dispatch; a host round-trip at restore time keeps them movable
@@ -73,9 +91,10 @@ def _arrays_only(state) -> dict:
     """Strip non-pytree fields (apply_fn/tx) for serialization.
 
     ``ema_params`` rides along only when EMA is enabled on the state —
-    save and restore templates stay symmetric, so checkpoints written
-    without EMA restore into non-EMA states (enable EMA from step 0 of a
-    run, not mid-resume)."""
+    save and restore templates stay symmetric: checkpoints written
+    without EMA restore into non-EMA states directly, and restoring one
+    into an EMA-enabled state seeds the EMA from the restored params
+    (see ``restore_latest``)."""
     out = {
         "step": state.step,
         "params": state.params,

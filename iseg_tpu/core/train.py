@@ -50,6 +50,19 @@ class TrainState(flax.struct.PyTreeNode):
                     e.dtype),
                 self.ema_params, new_params,
             )
+            # under gradient accumulation (optax.MultiSteps via
+            # with_grad_accum) only every k-th micro-step applies a real
+            # update; the EMA must decay once per REAL update, not per
+            # micro-step (decay^k would shrink a 1000-step horizon to
+            # 1000/k). MultiSteps resets mini_step to 0 exactly when the
+            # inner transform fired.
+            mini_step = getattr(new_opt_state, "mini_step", None)
+            if mini_step is not None:
+                applied = mini_step == 0
+                new_ema = jax.tree_util.tree_map(
+                    lambda n, e: jnp.where(applied, n, e),
+                    new_ema, self.ema_params,
+                )
         return self.replace(
             step=self.step + 1,
             params=new_params,

@@ -112,68 +112,69 @@ class GemmaAttention(nn.Module):
         k = apply_rope_1d(k, positions, cfg.rope_max_wavelength)
         q = q * (d ** -0.5)
 
-        if self.seq_axis is not None and cache is None:
-            if (self.sp_mode == "ring"
-                    and not jax.sharding.get_abstract_mesh().empty):
-                if mask is not None:
-                    raise ValueError(
-                        "sp_mode='ring' derives its causal mask from "
-                        "positions; pass mask=None (custom masks need "
-                        "sp_mode='allgather')"
-                    )
-                from iseg_tpu.parallel.ring import ring_attention
-
-                q = _constrain(q, self.data_axis, self.seq_axis, None, None)
-                k = _constrain(k, self.data_axis, self.seq_axis, None, None)
-                v = _constrain(v, self.data_axis, self.seq_axis, None, None)
-                # GQA K/V stay at kvh heads: the ring rotates the small
-                # blocks and broadcasts to query heads on-device
-                out = ring_attention(
-                    q, k, v, positions, self.seq_axis,
-                    batch_axis=self.data_axis, causal=True,
-                )
-                out = QuantDense(
-                    cfg.hidden_dim, axis=(-2, -1), use_bias=False,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="attention_output",
-                )(out)
-                return out, None
-            # SP: queries stay sequence-sharded; keys/values gather the
-            # full sequence (each device attends its query shard against
-            # the whole context)
-            q = _constrain(q, self.data_axis, self.seq_axis, None, None)
-            k = _constrain(k, self.data_axis, None, None, None)
-            v = _constrain(v, self.data_axis, None, None, None)
-
-        new_cache = None
-        if cache is not None:
-            # cache: [B, 2, max_len, kvh, d]; write current k/v at cache_index
-            ck, cv = cache[:, 0], cache[:, 1]
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache_index, 0, 0))
-            new_cache = jnp.stack([ck, cv], axis=1)
-            k, v = ck, cv  # attend over the full cache
-
-        if cache is None and q.shape[1] >= DPA_MIN_SEQLEN:
-            # XLA fused attention: native GQA (no kv repeat), no
-            # materialized [B, H, T, T] f32 logits. q is pre-scaled.
-            out = jax.nn.dot_product_attention(q, k, v, mask=mask,
-                                               scale=1.0)
-        else:
-            # GQA: repeat kv heads up to query heads
-            if kvh != h:
-                rep = h // kvh
-                k = jnp.repeat(k, rep, axis=2)
-                v = jnp.repeat(v, rep, axis=2)
-
-            logits = jnp.einsum("bthd,bshd->bhts", q, k,
-                                preferred_element_type=jnp.float32)
+        ring = (
+            self.seq_axis is not None and cache is None
+            and self.sp_mode == "ring"
+            and not jax.sharding.get_abstract_mesh().empty
+        )
+        if ring:
             if mask is not None:
-                logits = jnp.where(mask, logits, jnp.float32(-1e9))
-            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhts,bshd->bthd", probs, v)
+                raise ValueError(
+                    "sp_mode='ring' derives its causal mask from "
+                    "positions; pass mask=None (custom masks need "
+                    "sp_mode='allgather')"
+                )
+            from iseg_tpu.parallel.ring import ring_attention
+
+            q = _constrain(q, self.data_axis, self.seq_axis, None, None)
+            k = _constrain(k, self.data_axis, self.seq_axis, None, None)
+            v = _constrain(v, self.data_axis, self.seq_axis, None, None)
+            # GQA K/V stay at kvh heads: the ring rotates the small
+            # blocks and broadcasts to query heads on-device; the shared
+            # output projection below closes the branch
+            out = ring_attention(
+                q, k, v, positions, self.seq_axis,
+                batch_axis=self.data_axis, causal=True,
+            )
+        new_cache = None
+        if not ring:
+            if self.seq_axis is not None and cache is None:
+                # SP: queries stay sequence-sharded; keys/values gather
+                # the full sequence (each device attends its query shard
+                # against the whole context)
+                q = _constrain(q, self.data_axis, self.seq_axis, None, None)
+                k = _constrain(k, self.data_axis, None, None, None)
+                v = _constrain(v, self.data_axis, None, None, None)
+
+            if cache is not None:
+                # cache: [B, 2, max_len, kvh, d]; write current k/v at
+                # cache_index
+                ck, cv = cache[:, 0], cache[:, 1]
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                                  (0, cache_index, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                                  (0, cache_index, 0, 0))
+                new_cache = jnp.stack([ck, cv], axis=1)
+                k, v = ck, cv  # attend over the full cache
+
+            if cache is None and q.shape[1] >= DPA_MIN_SEQLEN:
+                # XLA fused attention: native GQA (no kv repeat), no
+                # materialized [B, H, T, T] f32 logits. q is pre-scaled.
+                out = jax.nn.dot_product_attention(q, k, v, mask=mask,
+                                                   scale=1.0)
+            else:
+                # GQA: repeat kv heads up to query heads
+                if kvh != h:
+                    rep = h // kvh
+                    k = jnp.repeat(k, rep, axis=2)
+                    v = jnp.repeat(v, rep, axis=2)
+
+                logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                                    preferred_element_type=jnp.float32)
+                if mask is not None:
+                    logits = jnp.where(mask, logits, jnp.float32(-1e9))
+                probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+                out = jnp.einsum("bhts,bshd->bthd", probs, v)
         out = QuantDense(cfg.hidden_dim, axis=(-2, -1), use_bias=False,
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="attention_output")(out)

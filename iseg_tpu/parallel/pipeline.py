@@ -101,6 +101,13 @@ def pipeline_spmd(
         if b % m != 0:
             raise ValueError(f"batch {b} not divisible by microbatches {m}")
         mb = b // m
+        if batch_axis is not None and mb % mesh.shape[batch_axis] != 0:
+            raise ValueError(
+                f"microbatch size {mb} (= batch {b} / {m} microbatches) is "
+                f"not divisible by the {batch_axis!r}-axis size "
+                f"{mesh.shape[batch_axis]}; pick num_microbatches so each "
+                "microbatch splits evenly across the data shards"
+            )
         micro = _tmap(lambda a: a.reshape(m, mb, *a.shape[1:]), x)
         cmicro = (
             _tmap(lambda a: a.reshape(m, mb, *a.shape[1:]), const)
@@ -129,8 +136,7 @@ def pipeline_spmd(
                     stack,
                 )
 
-            def tick(carry, t):
-                recv, ybuf = carry
+            def compute(recv, ybuf, t):
                 x_in = idx_mb(micro_local, t)
                 state = _tmap(
                     lambda a, r: jnp.where(is_first, a, r), x_in, recv
@@ -141,11 +147,6 @@ def pipeline_spmd(
                     y = stage_fn(params_i, state, const_mb)
                 else:
                     y = stage_fn(params_i, state)
-                # rotate: stage i's output becomes stage i+1's next input
-                # (the wrap back to stage 0 is masked out by ``is_first``)
-                recv_next = _tmap(
-                    lambda a: jax.lax.ppermute(a, axis, perm), y
-                )
                 # last stage banks finished microbatch t-(S-1)
                 out_t = t - (num_stages - 1)
                 idx = jnp.clip(out_t, 0, m - 1)
@@ -160,12 +161,26 @@ def pipeline_spmd(
                         buf, val, idx, 0
                     )
 
-                ybuf = _tmap(bank, ybuf, y)
+                return y, _tmap(bank, ybuf, y)
+
+            def tick(carry, t):
+                recv, ybuf = carry
+                y, ybuf = compute(recv, ybuf, t)
+                # rotate: stage i's output becomes stage i+1's next input
+                # (the wrap back to stage 0 is masked out by ``is_first``)
+                recv_next = _tmap(
+                    lambda a: jax.lax.ppermute(a, axis, perm), y
+                )
                 return (recv_next, ybuf), None
 
-            (_, ybuf), _ = jax.lax.scan(
-                tick, (recv0, ybuf0), jnp.arange(m + num_stages - 1)
+            total = m + num_stages - 1
+            # the final tick's output feeds nothing downstream — run it
+            # outside the scan so its ppermute (one full activation-pytree
+            # ICI hop per invocation, fwd and transposed bwd) never exists
+            (recv, ybuf), _ = jax.lax.scan(
+                tick, (recv0, ybuf0), jnp.arange(total - 1)
             )
+            _, ybuf = compute(recv, ybuf, jnp.int32(total - 1))
             # broadcast the last stage's outputs to every device so the
             # caller gets a replicated result (transpose-friendly psum)
             return _tmap(

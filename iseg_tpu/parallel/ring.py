@@ -93,9 +93,13 @@ def _ring_device_program(q, k, v, q_pos, kv_pos, *, axis: str, n: int,
     m0 = jnp.full((b, h, tl), _NEG)
     l0 = jnp.zeros((b, h, tl), jnp.float32)
     acc0 = jnp.zeros((b, h, tl, d), jnp.float32)
-    (_, _, _, _, l, acc), _ = jax.lax.scan(
-        tick, (k, v, kv_pos, m0, l0, acc0), None, length=n
+    # n-1 rotations suffice: the last block is consumed outside the scan
+    # so no tick permutes K/V into a carry nobody reads (saves one full
+    # K/V-block ICI hop per layer per step, fwd and bwd)
+    (k_l, v_l, kvp_l, m, l, acc), _ = jax.lax.scan(
+        tick, (k, v, kv_pos, m0, l0, acc0), None, length=n - 1
     )
+    _, l, acc = block(qf, k_l, v_l, kvp_l, m, l, acc)
     out = acc / jnp.maximum(l, 1e-30)[..., None]  # [B, H, Tl, D]
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 

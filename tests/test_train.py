@@ -287,3 +287,76 @@ def test_no_ema_by_default():
         model, jax.random.PRNGKey(0), (2, 32, 32, 3), optax.sgd(0.1))
     assert state.ema_params is None
     assert state.eval_variables()["params"] is state.params
+
+
+def test_ema_decays_once_per_real_update_under_accum():
+    """EMA x grad accumulation: the EMA must decay once per REAL optimizer
+    update, not once per micro-step (d^k per update would collapse a
+    1000-step horizon to 1000/k)."""
+    import flax.linen as nn
+    import optax
+
+    from iseg_tpu.core.optimizer import with_grad_accum
+
+    class LinearModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(4)(x)
+
+    def loss_fn(outputs, labels):
+        loss = jnp.mean((outputs - labels) ** 2)
+        return loss, {"loss": loss}
+
+    rngs = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rngs.rand(2, 16), jnp.float32),
+        "label": jnp.asarray(rngs.rand(2, 4), jnp.float32),
+    }
+    step = make_train_step(loss_fn, donate=False)
+    state = create_train_state(
+        LinearModel(), jax.random.PRNGKey(0), (2, 16),
+        with_grad_accum(optax.sgd(0.5), 4), ema_decay=0.9)
+
+    get_leaf = lambda tree: np.asarray(
+        jax.tree_util.tree_leaves(tree)[0], np.float64)
+    p0 = get_leaf(state.params)
+    rng = jax.random.PRNGKey(7)
+    for i in range(4):
+        state, _ = step(state, batch, rng)
+        if i < 3:  # mid-accumulation: EMA frozen along with the params
+            np.testing.assert_array_equal(get_leaf(state.ema_params), p0)
+    # after the one real update: exactly one decay step toward new params
+    expect = 0.9 * p0 + 0.1 * get_leaf(state.params)
+    np.testing.assert_allclose(get_leaf(state.ema_params), expect,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_enable_ema_on_resume_from_pre_ema_checkpoint(tmp_path):
+    """Restoring a checkpoint written WITHOUT EMA into an EMA-enabled
+    state must seed the EMA from the restored params, not crash inside
+    orbax on the template mismatch."""
+    import optax
+
+    from iseg_tpu.core.checkpoint import ModelHelper
+
+    model = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    tx = optax.sgd(0.1)
+    state = create_train_state(model, rng, (2, 32, 32, 3), tx)
+    step = make_train_step(model.build_loss_fn(), donate=False)
+    batch = {k: jnp.asarray(v) for k, v in _batch(n=2).items()}
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+
+    helper = ModelHelper(str(tmp_path / "ckpt"))
+    helper.save(int(state.step), state)
+    helper.wait()
+
+    fresh = create_train_state(model, rng, (2, 32, 32, 3), tx,
+                               ema_decay=0.9)
+    restored = helper.restore_latest(fresh)
+    get_leaf = lambda tree: np.asarray(jax.tree_util.tree_leaves(tree)[0])
+    np.testing.assert_array_equal(get_leaf(restored.params),
+                                  get_leaf(state.params))
+    np.testing.assert_array_equal(get_leaf(restored.ema_params),
+                                  get_leaf(state.params))
+    assert restored.ema_decay == 0.9
