@@ -168,6 +168,7 @@ class CoreTrain:
         log_dir: Optional[str] = None,
         lr_schedule: Optional[Callable] = None,
         ema_decay: Optional[float] = None,
+        handle_preemption: bool = True,
     ):
         self.env = env
         self.model = model
@@ -207,6 +208,14 @@ class CoreTrain:
         # optional schedule fn (returned by get_optimizer) so the current
         # LR is logged alongside the losses
         self.lr_schedule = lr_schedule
+        # graceful preemption (beyond-reference production feature; the
+        # reference loses up to an epoch on pod preemption): SIGTERM sets
+        # a flag, the step loop checkpoints durably at the next step
+        # boundary and returns. Resume is exact-step: initial_epoch=-1
+        # fast-forwards the (epoch-seeded, deterministic) dataset stream
+        # past the already-applied batches, so no batch is applied twice.
+        self.handle_preemption = handle_preemption
+        self._preempt_requested = False
 
     def restore(self):
         """Resume from the latest checkpoint if one exists
@@ -215,6 +224,9 @@ class CoreTrain:
             restored = self.checkpoint_manager.restore_latest(self.state)
             if restored is not None:
                 self.state = restored
+                # continue the host-side rng/log counter from the restored
+                # step so the device_augment stream resumes, not repeats
+                self._host_step = int(self.state.step)
         return int(self.state.step)
 
     def train(
@@ -230,10 +242,66 @@ class CoreTrain:
         ``initial_epoch=-1`` derives the resume epoch from the restored step
         count (reference ``core_train.py:107-116``); requires
         ``steps_per_epoch``."""
+        resume_skip = 0
         if initial_epoch == -1:
             if not steps_per_epoch:
                 raise ValueError("initial_epoch=-1 requires steps_per_epoch")
             initial_epoch = int(self.state.step) // steps_per_epoch
+            # mid-epoch checkpoint (preemption save): skip the batches of
+            # this epoch that were already applied — dataset_fn(epoch) is
+            # epoch-seeded, so the skipped prefix is bit-identical to what
+            # the preempted process consumed
+            resume_skip = int(self.state.step) % steps_per_epoch
+
+        import signal as _signal
+
+        self._preempt_requested = False
+        prev_handler = None
+        if self.handle_preemption:
+            def _on_preempt(signum, frame):
+                self._preempt_requested = True
+                print(
+                    f"preemption signal {signum} received: checkpointing at "
+                    "the next step boundary",
+                    flush=True,
+                )
+            try:
+                prev_handler = _signal.signal(_signal.SIGTERM, _on_preempt)
+            except ValueError:
+                prev_handler = None  # not the main thread; flag-only mode
+
+        try:
+            history = self._train_loop(
+                dataset_fn, epochs, steps_per_epoch, initial_epoch,
+                resume_skip, on_epoch_end)
+        finally:
+            if prev_handler is not None:
+                _signal.signal(_signal.SIGTERM, prev_handler)
+        return history
+
+    def _preempt_checkpoint(self) -> None:
+        """Durable mid-epoch save in response to a preemption notice."""
+        step = int(self.state.step)
+        if self.checkpoint_manager is not None:
+            if step not in set(self.checkpoint_manager.all_steps()):
+                self.checkpoint_manager.save(step, self.state)
+            if hasattr(self.checkpoint_manager, "wait"):
+                self.checkpoint_manager.wait()
+        if self.scalar_logger is not None:
+            self.scalar_logger.close()
+        print(f"preempted: checkpoint durable at step={step}; exiting the "
+              "train loop", flush=True)
+
+    def _train_loop(
+        self,
+        dataset_fn,
+        epochs,
+        steps_per_epoch,
+        initial_epoch,
+        resume_skip,
+        on_epoch_end,
+    ):
+        from iseg_tpu.utils.profiling import StepTimer
 
         # profiler window start step: 10% into the first profiled epoch
         # (reference core_train.py:121-126 profile_batch policy)
@@ -241,8 +309,6 @@ class CoreTrain:
         if self.use_profiler:
             profile_start = max(1, (steps_per_epoch or 10) // 10)
         profiling = False
-
-        from iseg_tpu.utils.profiling import StepTimer
 
         history = []
         for epoch in range(initial_epoch, epochs):
@@ -259,8 +325,18 @@ class CoreTrain:
 
             from iseg_tpu.data.loader import device_prefetch
 
+            data = dataset_fn(epoch)
+            if epoch == initial_epoch and resume_skip:
+                # exact-step resume from a mid-epoch (preemption) save:
+                # drop the already-applied prefix of this epoch's stream
+                # on the host — never sharded, never stepped
+                data = iter(data)
+                for _ in range(resume_skip):
+                    next(data, None)
+                step_in_epoch = resume_skip
+
             batches = device_prefetch(
-                dataset_fn(epoch), process_and_shard,
+                data, process_and_shard,
                 size=self.prefetch_to_device)
             for batch in batches:
                 if self.device_augment is not None:
@@ -280,6 +356,11 @@ class CoreTrain:
                 last_parts = parts
                 step_in_epoch += 1
                 timer.tick()
+                if self._preempt_requested:
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    self._preempt_checkpoint()
+                    return history
                 if profiling and step_in_epoch >= profile_start + self.profile_steps:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), parts)
