@@ -64,7 +64,12 @@ def main():
             out = proc.stdout + proc.stderr
         except subprocess.TimeoutExpired as e:
             rc = -1
-            out = (e.stdout or "") + (e.stderr or "") + "\nTIMEOUT"
+            # TimeoutExpired carries bytes even under text=True (CPython
+            # quirk): the captured pipes never went through the decoder
+            def _s(b):
+                return b.decode(errors="replace") if isinstance(b, bytes) \
+                    else (b or "")
+            out = _s(e.stdout) + _s(e.stderr) + "\nTIMEOUT"
         dt = time.time() - t0
         entry = {"returncode": rc, "seconds": round(dt, 1)}
         if name != "dryrun":
