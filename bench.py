@@ -103,8 +103,43 @@ def bench_sliding(config: str = "resnet"):
     print(json.dumps(row))
 
 
+def _init_devices_or_die(timeout_s: float = 600.0):
+    """Bound backend initialization: the remote-TPU client creation can
+    stall indefinitely when the link is stuck (observed: >20 min inside
+    make_c_api_client), which would hang the benchmark driver. Probe
+    ``jax.devices()`` on a daemon thread; if it neither returns nor
+    raises within the budget, print a diagnostic and exit(3). A retry
+    inside this process would just join the same stuck single-flight
+    init, so there is exactly one bounded attempt."""
+    import sys
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report and die either way
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return result["devices"]
+    print(
+        "bench: device initialization "
+        + (f"failed: {result['error']}" if "error" in result
+           else f"still blocked after {timeout_s:.0f}s (hardware link stuck)"),
+        file=sys.stderr,
+        flush=True,
+    )
+    os._exit(3)
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "train")
+    _init_devices_or_die()
     jax.config.update(
         "jax_compilation_cache_dir",
         __import__("os").path.expanduser("~/.cache/iseg_tpu_xla"),
