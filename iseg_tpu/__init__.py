@@ -7,8 +7,10 @@ A from-scratch rebuild of the capability surface of edwardyehuang/iSeg
   optional model axis for the Gemma LM module),
 * global-batch BatchNorm under GSPMD == the reference's SyncBN
   (reference: ``layers/syncbn.py:20``, ``layers/keras3/bn.py:76``),
-* Pallas kernels for the hot ops (deformable conv sampling, window/axial
-  attention, sliding-window halo accumulation),
+* Pallas kernels where they beat XLA's fusion (dense-local deformable
+  sampling, window attention, fused upsample+cross-entropy — each probed
+  against the XLA path and wired only where measured faster; see
+  BENCH_NOTES.md),
 * optax-based optimizer factory with poly/cosine warmup schedules,
   per-variable lr multipliers and weight-decay exclusion
   (reference: ``core_optimizer.py:18``, ``optimizers/``),
