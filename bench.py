@@ -72,10 +72,13 @@ def bench_sliding(config: str = "resnet"):
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, win[0], win[1], 3), dtype))
 
+    window_batch = int(os.environ.get("BENCH_WINDOW_BATCH", "1"))
+
     @jax.jit
     def _eval_jit(v, images):
         return inference_with_sliding_window(
-            lambda x: model.apply(v, x, train=False), images, win
+            lambda x: model.apply(v, x, train=False), images, win,
+            window_batch=window_batch,
         )
 
     x = jnp.asarray(np.random.RandomState(0).rand(1, hw[0], hw[1], 3), dtype)
@@ -96,6 +99,8 @@ def bench_sliding(config: str = "resnet"):
         "min": round(times[0], 4),
         "max": round(times[-1], 4),
     }
+    if window_batch != 1:
+        row["window_batch"] = window_batch
     if config != "hrnet":
         # the provisional TF sliding estimate is for the ResNet-50+ASPP
         # config only; a cross-model ratio would be meaningless

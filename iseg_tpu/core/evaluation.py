@@ -66,6 +66,7 @@ def make_eval_step(
                                 lambda y: single_with(v, y), x, s, flipped=f,
                                 sliding_window_crop_size=cfg.sliding_window_crop_size,
                                 sliding_window_stride_rate=cfg.sliding_window_stride_rate,
+                                sliding_window_batch=cfg.sliding_window_batch,
                             )
                         )
                     logits = np.asarray(jitted[key](variables, images))
@@ -86,6 +87,7 @@ def make_eval_step(
             flip=cfg.flip,
             sliding_window_crop_size=cfg.sliding_window_crop_size,
             sliding_window_stride_rate=cfg.sliding_window_stride_rate,
+            sliding_window_batch=cfg.sliding_window_batch,
         )
 
     seen_shapes = set()

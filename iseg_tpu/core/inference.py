@@ -62,10 +62,20 @@ def inference_with_sliding_window(
     images: jax.Array,
     crop_size: tuple[int, int],
     stride_rate: float = 2.0 / 3.0,
+    window_batch: int = 1,
 ) -> jax.Array:
     """Sliding-window logits (reference ``core_inference.py:230``).
 
     ``apply_fn(window) -> logits`` must return logits at window resolution.
+
+    ``window_batch > 1`` folds that many windows into the batch dimension
+    per model call (one ``lax.scan`` step runs ``window_batch * n`` images
+    through one forward). Typical sliding-window eval runs batch 1, where
+    a single 512^2 window under-feeds the MXU; batching windows recovers
+    training-like utilization at identical results (eval-mode forwards are
+    per-sample; the window list pads with zero-weight sentinel windows).
+    The reference sweeps strictly one window per step
+    (``core_inference.py:288-293``).
     """
     n, h, w, c = images.shape
     starts, counts, (wh, ww) = sliding_window_plan((h, w), crop_size, stride_rate)
@@ -77,15 +87,41 @@ def inference_with_sliding_window(
     k = out_shape.shape[-1]
     canvas = jnp.zeros((n, h, w, k), jnp.float32)
 
-    def body(canvas, start):
-        sh, sw = start[0], start[1]
-        win = jax.lax.dynamic_slice(images, (0, sh, sw, 0), (n, wh, ww, c))
-        logits = apply_fn(win).astype(jnp.float32)
-        cur = jax.lax.dynamic_slice(canvas, (0, sh, sw, 0), (n, wh, ww, k))
-        canvas = jax.lax.dynamic_update_slice(canvas, cur + logits, (0, sh, sw, 0))
+    wb = max(1, min(int(window_batch), len(starts)))
+    if wb == 1:
+        def body(canvas, start):
+            sh, sw = start[0], start[1]
+            win = jax.lax.dynamic_slice(images, (0, sh, sw, 0), (n, wh, ww, c))
+            logits = apply_fn(win).astype(jnp.float32)
+            cur = jax.lax.dynamic_slice(canvas, (0, sh, sw, 0), (n, wh, ww, k))
+            canvas = jax.lax.dynamic_update_slice(canvas, cur + logits, (0, sh, sw, 0))
+            return canvas, None
+
+        canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(starts))
+        return canvas / jnp.asarray(counts)[None]
+
+    # [K, 3] (y, x, weight) padded to a window_batch multiple with
+    # zero-weight sentinels at (0, 0), chunked [K/wb, wb, 3].
+    kk = len(starts)
+    pad = (-kk) % wb
+    starts_w = np.concatenate(
+        [np.c_[starts, np.ones((kk, 1), np.int32)], np.zeros((pad, 3), np.int32)],
+        axis=0,
+    ).reshape(-1, wb, 3)
+
+    def body(canvas, chunk):
+        wins = [
+            jax.lax.dynamic_slice(images, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, c))
+            for i in range(wb)
+        ]
+        logits = apply_fn(jnp.concatenate(wins, axis=0)).astype(jnp.float32)
+        for i in range(wb):
+            li = logits[i * n : (i + 1) * n] * chunk[i, 2].astype(jnp.float32)
+            cur = jax.lax.dynamic_slice(canvas, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, k))
+            canvas = jax.lax.dynamic_update_slice(canvas, cur + li, (0, chunk[i, 0], chunk[i, 1], 0))
         return canvas, None
 
-    canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(starts))
+    canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(starts_w))
     return canvas / jnp.asarray(counts)[None]
 
 
@@ -153,11 +189,16 @@ def inference_fn(
     images: jax.Array,
     sliding_window_crop_size: Optional[tuple[int, int]] = None,
     sliding_window_stride_rate: float = 2.0 / 3.0,
+    sliding_window_batch: int = 1,
 ) -> jax.Array:
     """Dispatch direct vs sliding-window (reference ``core_inference.py:46``)."""
     if sliding_window_crop_size is not None:
         return inference_with_sliding_window(
-            apply_fn, images, sliding_window_crop_size, sliding_window_stride_rate
+            apply_fn,
+            images,
+            sliding_window_crop_size,
+            sliding_window_stride_rate,
+            window_batch=sliding_window_batch,
         )
     return apply_fn(images)
 

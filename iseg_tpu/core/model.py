@@ -34,6 +34,10 @@ class SegModelInferenceConfig:
     flip: bool = False
     sliding_window_crop_size: Optional[tuple[int, int]] = None
     sliding_window_stride_rate: float = 2.0 / 3.0
+    # Windows folded into the batch dim per model call during the sweep
+    # (1 = reference behavior, one window per step). Higher values feed
+    # the MXU at batch-1 eval; results are identical.
+    sliding_window_batch: int = 1
     use_cpu_cache: bool = False  # host-offload of the logit accumulator
     # Shape bucketing (SURVEY hard-part #1): quantize variable eval sizes
     # to a grid so Cityscapes-style eval compiles O(#buckets) programs,

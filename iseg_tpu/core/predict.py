@@ -53,6 +53,7 @@ def default_image_predict(
         flip=cfg.flip,
         sliding_window_crop_size=cfg.sliding_window_crop_size,
         sliding_window_stride_rate=cfg.sliding_window_stride_rate,
+        sliding_window_batch=cfg.sliding_window_batch,
     )
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

@@ -130,6 +130,36 @@ def test_sliding_window_equals_direct_for_linear_fn():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 
+def test_sliding_window_batched_matches_serial():
+    # window_batch folds windows into the batch dim; results must match the
+    # one-window-per-step sweep exactly (eval forwards are per-sample).
+    # 10x12 with 6^2 windows at stride 3 -> 2x3 = 6 windows; wb=4 exercises
+    # the zero-weight sentinel padding (6 -> 8).
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 10, 12, 3), jnp.float32)
+
+    def fake_model(w):  # per-sample nonlinear "logits"
+        return jnp.tanh(w * 2.0 - 1.0) + w**2
+
+    serial = inference_with_sliding_window(fake_model, x, (6, 6), stride_rate=0.5)
+    for wb in (2, 3, 4, 16):
+        batched = inference_with_sliding_window(
+            fake_model, x, (6, 6), stride_rate=0.5, window_batch=wb
+        )
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(serial), atol=1e-6)
+
+
+def test_sliding_window_batched_overlap_within_chunk():
+    # overlapping windows landing in the SAME chunk must both accumulate
+    # (stride 0.5 on 8 wide -> starts 0/2/4, heavy overlap)
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 4, 8, 2), jnp.float32)
+    serial = inference_with_sliding_window(lambda w: w * 3.0, x, (4, 4), stride_rate=0.5)
+    batched = inference_with_sliding_window(
+        lambda w: w * 3.0, x, (4, 4), stride_rate=0.5, window_batch=3
+    )
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(serial), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(x) * 3.0, atol=1e-5)
+
+
 def test_sliding_window_single_window_shortcut():
     x = jnp.ones((1, 4, 4, 2))
     out = inference_with_sliding_window(lambda w: w * 2, x, (8, 8))
