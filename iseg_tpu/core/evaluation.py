@@ -85,6 +85,7 @@ def make_eval_step(
             images,
             scale_rates=tuple(cfg.scale_rates),
             flip=cfg.flip,
+            flip_in_batch=cfg.flip_in_batch,
             sliding_window_crop_size=cfg.sliding_window_crop_size,
             sliding_window_stride_rate=cfg.sliding_window_stride_rate,
             sliding_window_batch=cfg.sliding_window_batch,

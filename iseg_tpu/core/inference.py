@@ -228,18 +228,60 @@ def inference_with_scale(
     return logits.astype(jnp.float32)
 
 
+def inference_with_scale_flip_pair(
+    apply_fn: Callable,
+    images: jax.Array,
+    scale_rate: float,
+    **sliding_kwargs,
+) -> jax.Array:
+    """Run the (identity, horizontal-flip) pair as ONE forward at 2x batch
+    and return the SUM of the two logit maps (the caller counts 2 passes).
+
+    Exactly equal (up to fp reassociation) to two serial
+    ``inference_with_scale`` calls: the logit resize back to input
+    resolution is bilinear, hence linear, so resize(l1 + unflip(l2)) ==
+    resize(l1) + resize(unflip(l2)). Eval-mode forwards are per-sample, so
+    doubling the batch changes utilization, not results. The reference
+    runs each flip as its own ``strategy.run`` pass
+    (``core_model.py:232-326``)."""
+    n, h, w = images.shape[0], images.shape[1], images.shape[2]
+    if scale_rate != 1.0:
+        sh, sw = scaled_size(h, w, scale_rate)
+        x = resize_image(images, (sh, sw), "bilinear")
+    else:
+        x = images
+    xx = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+    logits = inference_fn(apply_fn, xx, **sliding_kwargs).astype(jnp.float32)
+    summed = logits[:n] + logits[n:, :, ::-1, :]
+    if summed.shape[1:3] != (h, w):
+        summed = resize_image(summed, (h, w), "bilinear")
+    return summed.astype(jnp.float32)
+
+
 def inference_with_multi_scales(
     apply_fn: Callable,
     images: jax.Array,
     scale_rates: Sequence[float] = (1.0,),
     flip: bool = False,
+    flip_in_batch: bool = False,
     **sliding_kwargs,
 ) -> jax.Array:
     """Average logits over scales x flips
-    (reference ``core_model.py:232-326``)."""
+    (reference ``core_model.py:232-326``).
+
+    ``flip_in_batch=True`` folds each scale's flip pair into one forward
+    at double batch (see ``inference_with_scale_flip_pair``) — half the
+    model calls at better MXU feed, identical results."""
     acc = None
     count = 0
     for scale in scale_rates:
+        if flip and flip_in_batch:
+            logits = inference_with_scale_flip_pair(
+                apply_fn, images, scale, **sliding_kwargs
+            )
+            acc = logits if acc is None else acc + logits
+            count += 2
+            continue
         for flipped in ((False, True) if flip else (False,)):
             logits = inference_with_scale(
                 apply_fn, images, scale, flipped=flipped, **sliding_kwargs

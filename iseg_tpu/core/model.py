@@ -38,6 +38,10 @@ class SegModelInferenceConfig:
     # (1 = reference behavior, one window per step). Higher values feed
     # the MXU at batch-1 eval; results are identical.
     sliding_window_batch: int = 1
+    # Fold each scale's (identity, flip) pair into one forward at double
+    # batch — half the model calls, identical results. Ignored by the
+    # use_cpu_cache path (which exists to MINIMIZE per-pass memory).
+    flip_in_batch: bool = False
     use_cpu_cache: bool = False  # host-offload of the logit accumulator
     # Shape bucketing (SURVEY hard-part #1): quantize variable eval sizes
     # to a grid so Cityscapes-style eval compiles O(#buckets) programs,

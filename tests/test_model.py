@@ -180,6 +180,31 @@ def test_multi_scale_flip_inference_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0.05)
 
 
+def test_flip_in_batch_matches_serial():
+    # folding the flip pair into one 2x-batch forward must match the
+    # serial two-pass sweep bit-for-bit up to fp reassociation, across
+    # scales and with/without a sliding window; the fake model is
+    # nonlinear and NOT flip-equivariant (asymmetric spatial ramp).
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 12, 16, 3), jnp.float32)
+
+    def fake_model(w):
+        ramp = jnp.linspace(0.0, 1.0, w.shape[2])[None, None, :, None]
+        return jnp.tanh(w * 2.0 - 1.0) + w**2 * ramp
+
+    for kwargs in (
+        dict(scale_rates=(0.5, 1.0), flip=True),
+        dict(scale_rates=(1.0,), flip=True,
+             sliding_window_crop_size=(8, 8), sliding_window_batch=2),
+    ):
+        serial = inference_with_multi_scales(fake_model, x, **kwargs)
+        paired = inference_with_multi_scales(
+            fake_model, x, flip_in_batch=True, **kwargs
+        )
+        np.testing.assert_allclose(
+            np.asarray(paired), np.asarray(serial), atol=1e-5
+        )
+
+
 def test_multi_scale_inference_with_model(mbv2_model):
     model, variables = mbv2_model
 
