@@ -132,12 +132,15 @@ def inference_with_sliding_window_sharded(
     mesh,
     stride_rate: float = 2.0 / 3.0,
     axis: str = "data",
+    window_batch: int = 1,
 ) -> jax.Array:
     """Device-parallel sliding window: the window grid is sharded over the
     mesh's ``axis`` so a single huge image's sweep scales with device count
     (beyond the reference, which sweeps serially per replica). Windows are
     padded to a device multiple with zero-weight sentinels; partial
-    canvases psum over ICI.
+    canvases psum over ICI. ``window_batch`` additionally folds that many
+    of each device's windows into the batch dim per forward (see
+    ``inference_with_sliding_window``).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -148,11 +151,13 @@ def inference_with_sliding_window_sharded(
     n_dev = mesh.shape[axis]
 
     k = len(starts)
-    pad = (-k) % n_dev
+    wb = max(1, min(int(window_batch), -(-k // n_dev)))
+    pad = (-k) % (n_dev * wb)
     starts_arr = np.concatenate(
         [np.c_[starts, np.ones((k, 1), np.int32)],
          np.zeros((pad, 3), np.int32)], axis=0
-    )  # [K', 3]: (y, x, weight)
+    )  # [K', 3]: (y, x, weight); K' divisible by n_dev * wb
+    starts_arr = starts_arr.reshape(-1, wb, 3)  # [K'/wb chunks, wb, 3]
 
     out_shape = jax.eval_shape(
         apply_fn, jax.ShapeDtypeStruct((n, wh, ww, c), images.dtype)
@@ -160,16 +165,26 @@ def inference_with_sliding_window_sharded(
     nc = out_shape.shape[-1]
 
     def worker(images_rep, my_starts):
-        # my_starts: [K'/n_dev, 3]
+        # my_starts: [K'/(n_dev*wb), wb, 3]
         canvas = jnp.zeros((n, h, w, nc), jnp.float32)
 
-        def body(canvas, s):
-            sy, sx, weight = s[0], s[1], s[2]
-            win = jax.lax.dynamic_slice(images_rep, (0, sy, sx, 0), (n, wh, ww, c))
-            logits = apply_fn(win).astype(jnp.float32) * weight.astype(jnp.float32)
-            cur = jax.lax.dynamic_slice(canvas, (0, sy, sx, 0), (n, wh, ww, nc))
-            return jax.lax.dynamic_update_slice(canvas, cur + logits,
-                                                (0, sy, sx, 0)), None
+        def body(canvas, chunk):
+            wins = [
+                jax.lax.dynamic_slice(
+                    images_rep, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, c)
+                )
+                for i in range(wb)
+            ]
+            logits = apply_fn(jnp.concatenate(wins, axis=0)).astype(jnp.float32)
+            for i in range(wb):
+                li = logits[i * n : (i + 1) * n] * chunk[i, 2].astype(jnp.float32)
+                cur = jax.lax.dynamic_slice(
+                    canvas, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, nc)
+                )
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, cur + li, (0, chunk[i, 0], chunk[i, 1], 0)
+                )
+            return canvas, None
 
         canvas, _ = jax.lax.scan(body, canvas, my_starts)
         return jax.lax.psum(canvas, axis)

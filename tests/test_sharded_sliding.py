@@ -30,6 +30,24 @@ def test_sharded_windows_match_serial():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_windows_with_window_batch():
+    # window_batch on the sharded sweep: each device runs wb windows per
+    # forward; sentinel padding grows to an n_dev*wb multiple. Must still
+    # equal the serial sweep exactly.
+    env = common_env_setup(EnvConfig(mixed_precision=False))
+    x = jnp.asarray(np.random.RandomState(4).rand(1, 20, 24, 3), jnp.float32)
+    w = jnp.asarray(np.random.RandomState(5).rand(3, 4), jnp.float32)
+    apply_fn = lambda win: jnp.tanh(win @ w) + (win @ w) ** 2
+
+    serial = inference_with_sliding_window(apply_fn, x, (8, 8), stride_rate=0.5)
+    for wb in (2, 3):
+        sharded = inference_with_sliding_window_sharded(
+            apply_fn, x, (8, 8), env.mesh, stride_rate=0.5, window_batch=wb
+        )
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_single_window():
     env = common_env_setup(EnvConfig(mixed_precision=False))
     x = jnp.ones((1, 6, 6, 2))
