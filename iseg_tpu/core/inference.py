@@ -88,41 +88,47 @@ def inference_with_sliding_window(
     canvas = jnp.zeros((n, h, w, k), jnp.float32)
 
     wb = max(1, min(int(window_batch), len(starts)))
-    if wb == 1:
-        def body(canvas, start):
-            sh, sw = start[0], start[1]
-            win = jax.lax.dynamic_slice(images, (0, sh, sw, 0), (n, wh, ww, c))
-            logits = apply_fn(win).astype(jnp.float32)
-            cur = jax.lax.dynamic_slice(canvas, (0, sh, sw, 0), (n, wh, ww, k))
-            canvas = jax.lax.dynamic_update_slice(canvas, cur + logits, (0, sh, sw, 0))
-            return canvas, None
+    starts_w = _chunk_weighted_starts(starts, wb)
 
-        canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(starts))
-        return canvas / jnp.asarray(counts)[None]
+    def body(canvas, chunk):
+        return _accumulate_window_chunk(
+            apply_fn, images, canvas, chunk, wb, (wh, ww)), None
 
-    # [K, 3] (y, x, weight) padded to a window_batch multiple with
-    # zero-weight sentinels at (0, 0), chunked [K/wb, wb, 3].
+    canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(starts_w))
+    return canvas / jnp.asarray(counts)[None]
+
+
+def _chunk_weighted_starts(starts: np.ndarray, wb: int, multiple: int = 1) -> np.ndarray:
+    """[K, 2] window starts -> [K'/wb, wb, 3] (y, x, weight) chunks, padded
+    with zero-weight sentinel windows at (0, 0) so K' is a multiple of
+    ``wb * multiple`` (``multiple`` > 1 for device-sharded sweeps)."""
     kk = len(starts)
-    pad = (-kk) % wb
-    starts_w = np.concatenate(
+    pad = (-kk) % (wb * multiple)
+    return np.concatenate(
         [np.c_[starts, np.ones((kk, 1), np.int32)], np.zeros((pad, 3), np.int32)],
         axis=0,
     ).reshape(-1, wb, 3)
 
-    def body(canvas, chunk):
-        wins = [
-            jax.lax.dynamic_slice(images, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, c))
-            for i in range(wb)
-        ]
-        logits = apply_fn(jnp.concatenate(wins, axis=0)).astype(jnp.float32)
-        for i in range(wb):
-            li = logits[i * n : (i + 1) * n] * chunk[i, 2].astype(jnp.float32)
-            cur = jax.lax.dynamic_slice(canvas, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, k))
-            canvas = jax.lax.dynamic_update_slice(canvas, cur + li, (0, chunk[i, 0], chunk[i, 1], 0))
-        return canvas, None
 
-    canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(starts_w))
-    return canvas / jnp.asarray(counts)[None]
+def _accumulate_window_chunk(apply_fn, images, canvas, chunk, wb, window_hw):
+    """Run one chunk of ``wb`` windows as a single ``wb * n``-batch forward
+    and add each window's weighted logits onto the canvas. The per-window
+    weight (0 for sentinel padding, else 1) costs one elementwise multiply
+    per window — noise next to the forward it guards."""
+    n, _, _, c = images.shape
+    k = canvas.shape[-1]
+    wh, ww = window_hw
+    wins = [
+        jax.lax.dynamic_slice(images, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, c))
+        for i in range(wb)
+    ]
+    logits = apply_fn(jnp.concatenate(wins, axis=0) if wb > 1 else wins[0])
+    logits = logits.astype(jnp.float32)
+    for i in range(wb):
+        li = logits[i * n : (i + 1) * n] * chunk[i, 2].astype(jnp.float32)
+        cur = jax.lax.dynamic_slice(canvas, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, k))
+        canvas = jax.lax.dynamic_update_slice(canvas, cur + li, (0, chunk[i, 0], chunk[i, 1], 0))
+    return canvas
 
 
 def inference_with_sliding_window_sharded(
@@ -152,12 +158,8 @@ def inference_with_sliding_window_sharded(
 
     k = len(starts)
     wb = max(1, min(int(window_batch), -(-k // n_dev)))
-    pad = (-k) % (n_dev * wb)
-    starts_arr = np.concatenate(
-        [np.c_[starts, np.ones((k, 1), np.int32)],
-         np.zeros((pad, 3), np.int32)], axis=0
-    )  # [K', 3]: (y, x, weight); K' divisible by n_dev * wb
-    starts_arr = starts_arr.reshape(-1, wb, 3)  # [K'/wb chunks, wb, 3]
+    # [K'/wb chunks, wb, 3] with K' a multiple of n_dev * wb
+    starts_arr = _chunk_weighted_starts(starts, wb, multiple=n_dev)
 
     out_shape = jax.eval_shape(
         apply_fn, jax.ShapeDtypeStruct((n, wh, ww, c), images.dtype)
@@ -169,22 +171,8 @@ def inference_with_sliding_window_sharded(
         canvas = jnp.zeros((n, h, w, nc), jnp.float32)
 
         def body(canvas, chunk):
-            wins = [
-                jax.lax.dynamic_slice(
-                    images_rep, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, c)
-                )
-                for i in range(wb)
-            ]
-            logits = apply_fn(jnp.concatenate(wins, axis=0)).astype(jnp.float32)
-            for i in range(wb):
-                li = logits[i * n : (i + 1) * n] * chunk[i, 2].astype(jnp.float32)
-                cur = jax.lax.dynamic_slice(
-                    canvas, (0, chunk[i, 0], chunk[i, 1], 0), (n, wh, ww, nc)
-                )
-                canvas = jax.lax.dynamic_update_slice(
-                    canvas, cur + li, (0, chunk[i, 0], chunk[i, 1], 0)
-                )
-            return canvas, None
+            return _accumulate_window_chunk(
+                apply_fn, images_rep, canvas, chunk, wb, (wh, ww)), None
 
         canvas, _ = jax.lax.scan(body, canvas, my_starts)
         return jax.lax.psum(canvas, axis)

@@ -19,6 +19,10 @@ import optax
 
 from iseg_tpu.parallel.mesh import MeshEnv, shard_batch
 
+# "no handler was installed" marker for SIGTERM save/restore — distinct
+# from None, which signal.signal() returns for non-Python handlers
+_UNSET_HANDLER = object()
+
 
 class TrainState(flax.struct.PyTreeNode):
     """Carries params + BN batch_stats + optimizer state.
@@ -256,7 +260,10 @@ class CoreTrain:
         import signal as _signal
 
         self._preempt_requested = False
-        prev_handler = None
+        # sentinel, NOT None: signal.signal() legitimately returns None
+        # when the previous handler was installed by non-Python code, and
+        # that handler must still be restored on exit
+        prev_handler = _UNSET_HANDLER
         if self.handle_preemption:
             def _on_preempt(signum, frame):
                 self._preempt_requested = True
@@ -268,14 +275,14 @@ class CoreTrain:
             try:
                 prev_handler = _signal.signal(_signal.SIGTERM, _on_preempt)
             except ValueError:
-                prev_handler = None  # not the main thread; flag-only mode
+                pass  # not the main thread; flag-only mode
 
         try:
             history = self._train_loop(
                 dataset_fn, epochs, steps_per_epoch, initial_epoch,
                 resume_skip, on_epoch_end)
         finally:
-            if prev_handler is not None:
+            if prev_handler is not _UNSET_HANDLER:
                 _signal.signal(_signal.SIGTERM, prev_handler)
         return history
 
@@ -289,6 +296,7 @@ class CoreTrain:
                 self.checkpoint_manager.wait()
         if self.scalar_logger is not None:
             self.scalar_logger.close()
+            self.scalar_logger = None  # a closed writer must not be reused
         print(f"preempted: checkpoint durable at step={step}; exiting the "
               "train loop", flush=True)
 
@@ -309,6 +317,7 @@ class CoreTrain:
         if self.use_profiler:
             profile_start = max(1, (steps_per_epoch or 10) // 10)
         profiling = False
+        profile_started_at = 0
 
         history = []
         for epoch in range(initial_epoch, epochs):
@@ -348,9 +357,13 @@ class CoreTrain:
                     )
                     batch = {"image": image, "label": label}
                 if (profile_start is not None and epoch == initial_epoch
-                        and step_in_epoch == profile_start and not profiling):
+                        and step_in_epoch >= profile_start and not profiling):
+                    # >= not ==: a mid-epoch (preemption) resume can enter
+                    # the loop past profile_start; trace from wherever we
+                    # actually are and size the window from there
                     jax.profiler.start_trace(self.profiler_dir)
                     profiling = True
+                    profile_started_at = step_in_epoch
                 self.state, parts = self.train_step(self.state, batch, self.rng)
                 self._host_step += 1
                 last_parts = parts
@@ -361,7 +374,7 @@ class CoreTrain:
                         jax.profiler.stop_trace()
                     self._preempt_checkpoint()
                     return history
-                if profiling and step_in_epoch >= profile_start + self.profile_steps:
+                if profiling and step_in_epoch >= profile_started_at + self.profile_steps:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), parts)
                     jax.profiler.stop_trace()

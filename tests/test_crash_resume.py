@@ -102,18 +102,22 @@ def test_sigkill_mid_training_then_resume(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
     )
-    killed = False
-    deadline = time.time() + 600
-    for line in p.stdout:
+    from subproc_util import read_lines_with_deadline
+
+    state = {"killed": False}
+
+    def _on_line(line):
         if "epoch 2 done" in line:
             os.kill(p.pid, signal.SIGKILL)  # the child pid, not a pattern
-            killed = True
-            break
-        if time.time() > deadline:
-            p.kill()
-            pytest.fail("phase-1 child produced no epoch logs in time")
+            state["killed"] = True
+            return "stop"
+
+    lines, timed_out = read_lines_with_deadline(p, 600, _on_line)
+    if timed_out:
+        pytest.fail("phase-1 child produced no epoch logs in time:\n"
+                    + "".join(lines[-30:]))
     p.wait(timeout=60)
-    assert killed, "never saw an epoch complete before the deadline"
+    assert state["killed"], "never saw an epoch complete before the deadline"
 
     # phase 2: a fresh process must restore a committed epoch boundary
     # (asserted inside the child) and run to completion

@@ -98,21 +98,22 @@ def test_sigterm_saves_mid_epoch_and_resume_is_exact_step(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=repo_root,
     )
-    signalled = False
-    lines = []
-    deadline = time.time() + 600
-    for line in p.stdout:
-        lines.append(line)
-        if not signalled and "epoch 1 step 2" in line:
+    from subproc_util import read_lines_with_deadline
+
+    state = {"signalled": False}
+
+    def _on_line(line):
+        if not state["signalled"] and "epoch 1 step 2" in line:
             p.send_signal(signal.SIGTERM)  # the child pid, not a pattern
-            signalled = True
-        if time.time() > deadline:
-            p.kill()
-            pytest.fail("phase-1 child produced no step logs in time:\n"
-                        + "".join(lines[-30:]))
+            state["signalled"] = True
+
+    lines, timed_out = read_lines_with_deadline(p, 600, _on_line)
+    if timed_out:
+        pytest.fail("phase-1 child produced no step logs in time:\n"
+                    + "".join(lines[-30:]))
     rc = p.wait(timeout=120)
     out = "".join(lines)
-    assert signalled, "never saw a mid-epoch step log:\n" + out[-3000:]
+    assert state["signalled"], "never saw a mid-epoch step log:\n" + out[-3000:]
     assert rc == 0, f"preempted child should exit cleanly, rc={rc}:\n" + out[-3000:]
     assert "preempted: checkpoint durable at step=" in out, out[-3000:]
     saved_step = int(out.split("preempted: checkpoint durable at step=")[1]

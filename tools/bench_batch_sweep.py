@@ -8,7 +8,7 @@ relieves HBM pressure), the headline should move to it. This sweeps the
 batch axis and reports throughput + step time per setting; OOM settings
 report as "oom" instead of crashing the sweep.
 
-Usage (TPU): python tools/bench_batch_sweep.py [resnet] [8 16 24 32]
+Usage (TPU): python tools/bench_batch_sweep.py [8 16 24 32]
 """
 
 import json
@@ -31,6 +31,9 @@ def main():
     # stuck — see bench._init_devices_or_die)
     if os.environ.get("SWEEP_PLATFORM") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from bench import _init_devices_or_die
+        _init_devices_or_die()  # bounded probe: a stuck link exits(3)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/iseg_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -56,7 +59,11 @@ def main():
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, hw, hw, 3), dtype))
 
-    for batch in batches:
+    def run_one(batch):
+        # a function scope so state/data die on return (frees HBM before
+        # the next batch size allocates); construction is INSIDE the OOM
+        # guard — model.init at batch 32 can RESOURCE_EXHAUST just as
+        # easily as the first step
         tx, _ = get_optimizer(variables["params"], "sgd",
                               learning_rate=0.01, train_steps=1000)
         state = create_train_state(model, rng, (batch, hw, hw, 3), tx,
@@ -66,27 +73,30 @@ def main():
         y = np.random.RandomState(1).randint(0, nc, (batch, hw, hw))
         data = {"image": jnp.asarray(x, dtype),
                 "label": jnp.asarray(y, jnp.int32)}
+        steps, warm = 10, 3
+        for _ in range(warm):
+            state, parts = step_fn(state, data, rng)
+        _ = float(parts["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, parts = step_fn(state, data, rng)
+        _ = float(parts["loss"])
+        dt = (time.perf_counter() - t0) / steps
+        return {
+            "batch": batch,
+            "ms_per_step": round(dt * 1e3, 1),
+            "img_per_sec": round(batch / dt, 1),
+        }
+
+    for batch in batches:
         try:
-            steps, warm = 10, 3
-            for _ in range(warm):
-                state, parts = step_fn(state, data, rng)
-            _ = float(parts["loss"])
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                state, parts = step_fn(state, data, rng)
-            _ = float(parts["loss"])
-            dt = (time.perf_counter() - t0) / steps
-            print(json.dumps({
-                "batch": batch,
-                "ms_per_step": round(dt * 1e3, 1),
-                "img_per_sec": round(batch / dt, 1),
-            }), flush=True)
+            row = run_one(batch)
         except Exception as e:  # noqa: BLE001 — keep sweeping past OOMs
             msg = repr(e)
             kind = "oom" if "RESOURCE_EXHAUSTED" in msg or "Out of memory" \
                 in msg else "error"
-            print(json.dumps({"batch": batch, kind: msg[:200]}), flush=True)
-        del state, step_fn, data
+            row = {"batch": batch, kind: msg[:200]}
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
