@@ -206,6 +206,16 @@ def inference_fn(
     return apply_fn(images)
 
 
+def _resized_to_scale(images: jax.Array, scale_rate: float) -> jax.Array:
+    """Bilinear resize to ``scale_rate`` (shared by the serial and the
+    flip-pair paths — the bit-parity claim between them depends on both
+    using the exact same scaling policy)."""
+    if scale_rate == 1.0:
+        return images
+    sh, sw = scaled_size(images.shape[1], images.shape[2], scale_rate)
+    return resize_image(images, (sh, sw), "bilinear")
+
+
 def inference_with_scale(
     apply_fn: Callable,
     images: jax.Array,
@@ -216,11 +226,7 @@ def inference_with_scale(
     """Resize -> (flip) -> infer -> unflip -> resize logits back
     (reference ``core_model.py:132-225`` ``inference_with_scale``)."""
     h, w = images.shape[1], images.shape[2]
-    if scale_rate != 1.0:
-        sh, sw = scaled_size(h, w, scale_rate)
-        x = resize_image(images, (sh, sw), "bilinear")
-    else:
-        x = images
+    x = _resized_to_scale(images, scale_rate)
     if flipped:
         x = x[:, :, ::-1, :]
     logits = inference_fn(apply_fn, x, **sliding_kwargs)
@@ -248,11 +254,7 @@ def inference_with_scale_flip_pair(
     runs each flip as its own ``strategy.run`` pass
     (``core_model.py:232-326``)."""
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
-    if scale_rate != 1.0:
-        sh, sw = scaled_size(h, w, scale_rate)
-        x = resize_image(images, (sh, sw), "bilinear")
-    else:
-        x = images
+    x = _resized_to_scale(images, scale_rate)
     xx = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
     logits = inference_fn(apply_fn, xx, **sliding_kwargs).astype(jnp.float32)
     summed = logits[:n] + logits[n:, :, ::-1, :]

@@ -260,9 +260,6 @@ class CoreTrain:
         import signal as _signal
 
         self._preempt_requested = False
-        # sentinel, NOT None: signal.signal() legitimately returns None
-        # when the previous handler was installed by non-Python code, and
-        # that handler must still be restored on exit
         prev_handler = _UNSET_HANDLER
         if self.handle_preemption:
             def _on_preempt(signum, frame):
@@ -282,7 +279,14 @@ class CoreTrain:
                 dataset_fn, epochs, steps_per_epoch, initial_epoch,
                 resume_skip, on_epoch_end)
         finally:
-            if prev_handler is not _UNSET_HANDLER:
+            # None means the previous handler was installed by non-Python
+            # code: signal.signal cannot re-install it (TypeError), and
+            # leaving _on_preempt in place would swallow every later
+            # SIGTERM into a stale flag — fall back to the default action
+            # so the process terminates normally again
+            if prev_handler is None:
+                _signal.signal(_signal.SIGTERM, _signal.SIG_DFL)
+            elif prev_handler is not _UNSET_HANDLER:
                 _signal.signal(_signal.SIGTERM, prev_handler)
         return history
 
