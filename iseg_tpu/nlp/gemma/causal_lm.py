@@ -158,7 +158,27 @@ class GemmaCausalLM:
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        key = (max_length, sampler, end_token_id)
+
+        # decode starts at the SHORTEST prompt's length, not the padded
+        # buffer width: rows shorter than the buffer get their pad gap
+        # [length, P) filled with generated tokens (keras-nlp reference
+        # semantics); rows still inside their prompt re-forward the prompt
+        # token (idempotent cache write) until generation reaches them.
+        # Host-static so the scan trip count stays static; distinct start
+        # values retrace, like any shape change.
+        import numpy as np
+
+        p_width = int(prompt_ids.shape[1])
+        if isinstance(prompt_lengths, jax.core.Tracer):
+            # under an OUTER jit the lengths are abstract: scan the whole
+            # range (correct for any lengths; prompt steps re-forward
+            # their own token, so only speed is lost)
+            start = 1
+        else:
+            start = int(np.min(np.asarray(prompt_lengths)))
+            start = max(1, min(start, p_width))
+
+        key = (max_length, sampler, end_token_id, start)
         fn = self._generate_jit.get(key)
         if fn is None:
             import functools
@@ -171,7 +191,7 @@ class GemmaCausalLM:
                 impl = self._generate_impl
             fn = jax.jit(functools.partial(
                 impl, max_length=max_length, sampler=sampler,
-                end_token_id=end_token_id))
+                end_token_id=end_token_id, start=start))
             self._generate_jit[key] = fn
         return fn(variables, prompt_ids, prompt_lengths, rng)
 
@@ -185,8 +205,11 @@ class GemmaCausalLM:
         max_length: int,
         sampler,
         end_token_id: Optional[int],
+        start: Optional[int] = None,
     ) -> jax.Array:
         b, p = prompt_ids.shape
+        if start is None:
+            start = p
         caches = self.build_cache(b, max_length)
 
         # int8 weight-only serving (ops.quant): dequantize lazily —
@@ -235,7 +258,7 @@ class GemmaCausalLM:
             return (tokens2, caches2, logits_i[:, 0], key, done), None
 
         init = (tokens, caches, next_logits, rng, done0)
-        (tokens, *_), _ = jax.lax.scan(step, init, jnp.arange(p, max_length))
+        (tokens, *_), _ = jax.lax.scan(step, init, jnp.arange(start, max_length))
         return tokens
 
     def _generate_beam_impl(
@@ -248,6 +271,7 @@ class GemmaCausalLM:
         max_length: int,
         sampler,  # samplers.BeamSampler
         end_token_id: Optional[int],
+        start: Optional[int] = None,
     ) -> jax.Array:
         """Beam search in the same one-program prefill+scan shape
         (reference compiles ``BeamSampler`` through the identical
@@ -257,9 +281,14 @@ class GemmaCausalLM:
         each scan step re-ranks (score + log-prob) over ``nb*V``
         continuations, gathers the KV caches by parent-beam index, and the
         best-scoring beam per sample is returned at the end. Finished beams
-        continue with token 0 at log-prob 0 so their scores freeze."""
+        continue with token 0 at log-prob 0 so their scores freeze. Rows
+        whose prompt extends past the current step are FORCED to their
+        prompt token at log-prob 0 (scores frozen), so ragged prompts
+        stay on-prompt until their own length."""
         nb = sampler.num_beams
         b, p = prompt_ids.shape
+        if start is None:
+            start = p
         neg_inf = jnp.float32(-1e9)
 
         # prefill once on B rows, then tile rows nb times (row-major:
@@ -299,6 +328,14 @@ class GemmaCausalLM:
             # finished beams: only token 0 at log-prob 0 (score frozen)
             pad_row = jnp.full((vocab,), neg_inf).at[0].set(0.0)
             log_probs = jnp.where(done[..., None], pad_row, log_probs)
+            # rows still inside their prompt: only the prompt token, at
+            # log-prob 0 — beams stay on-prompt with frozen scores
+            forced = i < prompt_lengths  # [B]
+            cur = jax.lax.dynamic_slice(
+                tokens, (0, 0, i), (b, nb, 1))[..., 0]  # [B, nb]
+            forced_row = jnp.where(
+                jax.nn.one_hot(cur, vocab, dtype=bool), 0.0, neg_inf)
+            log_probs = jnp.where(forced[:, None, None], forced_row, log_probs)
 
             total = (scores[..., None] + log_probs).reshape(b, nb * vocab)
             new_scores, flat_idx = jax.lax.top_k(total, nb)  # [B, nb]
@@ -307,7 +344,8 @@ class GemmaCausalLM:
 
             done2 = jnp.take_along_axis(done, parent, axis=1)
             if end_token_id is not None:
-                done2 = done2 | (tok == end_token_id)
+                # an end id INSIDE a prompt must not finish the beam
+                done2 = done2 | (~forced[:, None] & (tok == end_token_id))
 
             # reorder histories and caches by parent beam
             tokens2 = jnp.take_along_axis(tokens, parent[..., None], axis=1)
@@ -327,7 +365,7 @@ class GemmaCausalLM:
 
         init = (tokens, caches, next_logits, scores, done0)
         (tokens, _, _, scores, _), _ = jax.lax.scan(
-            step, init, jnp.arange(p, max_length)
+            step, init, jnp.arange(start, max_length)
         )
         best = jnp.argmax(scores, axis=1)
         return jnp.take_along_axis(
@@ -344,6 +382,7 @@ class GemmaCausalLM:
         max_length: int,
         sampler,  # samplers.ContrastiveSampler
         end_token_id: Optional[int],
+        start: Optional[int] = None,
     ) -> jax.Array:
         """Contrastive search (keras-nlp ``ContrastiveSampler`` semantics):
         at each step the ``k`` most probable candidates each take one
@@ -353,6 +392,8 @@ class GemmaCausalLM:
         del rng  # deterministic given the scores
         kc, alpha = sampler.k, sampler.alpha
         b, p = prompt_ids.shape
+        if start is None:
+            start = p
         caches = self.build_cache(b, max_length)
         dense = self._dense_variables(variables, barrier=False)
 
@@ -381,6 +422,13 @@ class GemmaCausalLM:
             probs = jax.nn.softmax(next_logits.astype(jnp.float32), axis=-1)
             cand_p, cand_ids = jax.lax.top_k(probs, kc)  # [B, k]
 
+            # rows still inside their prompt: every candidate IS the
+            # prompt token, so the kept cache/history row holds the prompt
+            # token's k/v and hidden, not a speculated candidate's
+            forced = i < prompt_lengths  # [B]
+            cur0 = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
+            cand_ids = jnp.where(forced[:, None], cur0[:, None], cand_ids)
+
             # one batched forward for all candidates (B*k rows share the
             # tiled cache; only the winner's cache row is kept)
             caches_k = jnp.repeat(caches, kc, axis=0)
@@ -391,18 +439,17 @@ class GemmaCausalLM:
             h_cand = hidden_k[:, 0].reshape(b, kc, dim).astype(jnp.float32)
 
             # degeneration penalty: max cosine similarity against every
-            # prior hidden state — positions < i, EXCLUDING each sample's
-            # prompt-pad rows [prompt_length, P) whose prefill states are
-            # pad-token artifacts (per-sample mask, so generation does not
-            # depend on batch composition)
+            # prior hidden state. All slots < i are real by construction:
+            # prompt slots from the prefill, and each former pad slot in
+            # [prompt_length, i) was overwritten with its generated
+            # token's hidden when the sweep passed it.
             h_norm = h_cand / (jnp.linalg.norm(h_cand, axis=-1,
                                                keepdims=True) + 1e-8)
             hist_norm = history / (jnp.linalg.norm(history, axis=-1,
                                                    keepdims=True) + 1e-8)
             sim = jnp.einsum("bkd,btd->bkt", h_norm, hist_norm)
             pos = jnp.arange(max_length)[None]  # [1, T]
-            valid = (pos < i) & (
-                (pos < prompt_lengths[:, None]) | (pos >= p))  # [B, T]
+            valid = pos < i  # [1, T] broadcasting over B
             sim = jnp.where(valid[:, None], sim, -1.0)
             penalty = jnp.max(sim, axis=-1)  # [B, k]
 
@@ -433,7 +480,7 @@ class GemmaCausalLM:
             return (tokens2, caches2, history2, next_logits2, done), None
 
         init = (tokens, caches, history, next_logits, done0)
-        (tokens, *_), _ = jax.lax.scan(step, init, jnp.arange(p, max_length))
+        (tokens, *_), _ = jax.lax.scan(step, init, jnp.arange(start, max_length))
         return tokens
 
     def score(self, variables, token_ids):

@@ -157,24 +157,33 @@ class GemmaAttention(nn.Module):
                 new_cache = jnp.stack([ck, cv], axis=1)
                 k, v = ck, cv  # attend over the full cache
 
-            if cache is None and q.shape[1] >= DPA_MIN_SEQLEN:
+            if q.shape[1] >= DPA_MIN_SEQLEN:
                 # XLA fused attention: native GQA (no kv repeat), no
-                # materialized [B, H, T, T] f32 logits. q is pre-scaled.
-                out = jax.nn.dot_product_attention(q, k, v, mask=mask,
-                                                   scale=1.0)
+                # materialized [B, H, T, S] f32 logits. q is pre-scaled.
+                # Also taken by a long PREFILL into a KV cache (q_len = P,
+                # kv = the updated cache; the position-aware mask hides
+                # the unwritten tail) — at P=4096 the einsum path would
+                # transiently materialize [B, H, P, max_len] f32 logits.
+                out = jax.nn.dot_product_attention(
+                    q, k.astype(q.dtype), v.astype(q.dtype),
+                    mask=mask, scale=1.0)
             else:
-                # GQA: repeat kv heads up to query heads
-                if kvh != h:
-                    rep = h // kvh
-                    k = jnp.repeat(k, rep, axis=2)
-                    v = jnp.repeat(v, rep, axis=2)
-
-                logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                # grouped-query einsums: q reshaped [B, T, kvh, g, d] and
+                # contracted against UNREPEATED k/v — decode is
+                # KV-bandwidth-bound, and repeating the cache to h heads
+                # would multiply its reads by h/kvh
+                g = h // kvh
+                tq = q.shape[1]
+                qg = q.reshape(b, tq, kvh, g, d)
+                logits = jnp.einsum("btkgd,bskd->bkgts", qg, k,
                                     preferred_element_type=jnp.float32)
                 if mask is not None:
-                    logits = jnp.where(mask, logits, jnp.float32(-1e9))
+                    # mask [B, 1, T, S] -> broadcast over (kvh, g)
+                    logits = jnp.where(mask[:, :, None], logits,
+                                       jnp.float32(-1e9))
                 probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-                out = jnp.einsum("bhts,bshd->bthd", probs, v)
+                out = jnp.einsum("bkgts,bskd->btkgd", probs, v)
+                out = out.reshape(b, tq, h, d)
         out = QuantDense(cfg.hidden_dim, axis=(-2, -1), use_bias=False,
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="attention_output")(out)
@@ -221,8 +230,8 @@ class GemmaDecoderBlock(nn.Module):
         return x + ffw, new_cache
 
 
-def causal_mask(t: int, positions: jax.Array, kv_len: Optional[int] = None,
-                cache_index=None) -> jax.Array:
+def causal_mask(t: int, positions: jax.Array,
+                kv_len: Optional[int] = None) -> jax.Array:
     """[B, 1, T, S] boolean causal mask (reference
     ``gemma_decoder_block.py:114``)."""
     if kv_len is None:
@@ -271,6 +280,15 @@ class GemmaBackbone(nn.Module):
         cfg = self.config
         b, t = token_ids.shape
         if positions is None:
+            if caches is not None:
+                # defaulting to arange(t) against a cache would rotary-
+                # encode the tokens at position 0.. and mask away the
+                # whole cache — silently-garbage logits, so refuse
+                raise ValueError(
+                    "positions must be passed explicitly when decoding "
+                    "against a KV cache (arange(t) would mis-position "
+                    "the query tokens)"
+                )
             positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
         x = self.token_embedding(token_ids)
         x = x * jnp.asarray(cfg.hidden_dim ** 0.5, x.dtype)

@@ -266,6 +266,12 @@ class SentencePieceModel:
     # -- encode -------------------------------------------------------------
 
     def encode(self, text: str) -> list[int]:
+        # sentencepiece encodes empty (or whitespace-only, when
+        # remove_extra_whitespaces trims it away) input to [] — the dummy
+        # prefix is only added to non-empty text, so check BEFORE
+        # normalization or "" would tokenize to [ws_piece_id]
+        if not (text.strip() if self.proto.remove_extra_whitespaces else text):
+            return []
         s = self._normalize(text)
         if not s:
             return []
@@ -351,7 +357,12 @@ class SentencePieceModel:
         parts: list = []  # str pieces and int bytes, in order
         for i in ids:
             sp = p.pieces[int(i)]
-            if sp.type in (CONTROL, UNKNOWN, UNUSED):
+            if sp.type in (CONTROL, UNUSED):
+                continue
+            if sp.type == UNKNOWN:
+                # sentencepiece renders unk as its default surface rather
+                # than dropping it (DefaultUnknownSurface, " ⁇ ")
+                parts.append(" ⁇ ")
                 continue
             if sp.type == BYTE:
                 parts.append(_byte_value(sp.piece))

@@ -43,7 +43,13 @@ class GemmaTokenizer:
 
     @property
     def pad_id(self) -> int:
-        return getattr(self._require_backend(), "pad_id", lambda: 0)()
+        # protos trained with pad disabled report pad_id() == -1 (the
+        # SentencePiece TrainerSpec default); -1 must never reach the
+        # model (embedding take() would clip it to row 0 silently), so
+        # pad with id 0 in that case — padded positions are masked out
+        # by padding_mask / prompt_lengths everywhere downstream
+        raw = getattr(self._require_backend(), "pad_id", lambda: 0)()
+        return max(0, int(raw))
 
     @property
     def bos_id(self) -> int:
@@ -103,6 +109,13 @@ class _FastTokenizersAdapter:
 def _load_backend(proto_path: str):
     if proto_path.endswith(".json"):
         return _FastTokenizersAdapter(proto_path)
+    if not proto_path.endswith((".model", ".spm")):
+        # anything else would hit the proto parser and die with an opaque
+        # varint error — name the actual problem instead
+        raise ValueError(
+            f"unsupported tokenizer file {proto_path!r}: expected a "
+            "HF tokenizers .json or a SentencePiece .model/.spm proto"
+        )
     try:
         import sentencepiece as spm
 

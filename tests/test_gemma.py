@@ -86,6 +86,18 @@ def test_score(lm):
     assert (np.asarray(lp) <= 0).all()
 
 
+def test_cache_decode_without_positions_raises(lm):
+    # defaulting positions to arange(t) against a cache would RoPE the
+    # token at position 0 and mask away the cache — must refuse loudly
+    model, variables = lm
+    caches = model.build_cache(1, 8)
+    with pytest.raises(ValueError, match="positions"):
+        model.backbone.apply(
+            variables, jnp.zeros((1, 1), jnp.int32),
+            caches=caches, cache_index=5,
+        )
+
+
 def test_tp_layout_shards_over_model_axis():
     from iseg_tpu.parallel.mesh import create_mesh
 

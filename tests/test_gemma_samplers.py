@@ -207,6 +207,35 @@ def test_beam_preserves_prompt_and_batch(lm):
     assert (np.asarray(out) < model.config.vocab_size).all()
 
 
+def test_ragged_prompts_fill_pad_gap_and_match_unpadded(lm):
+    """Rows shorter than the prompt buffer must generate from their OWN
+    length (keras-nlp semantics): the pad gap [length, P) is filled with
+    generated tokens, and the row's output equals generating it alone
+    with no padding (pad tokens influence nothing)."""
+    model, variables = lm
+    prompt = jnp.asarray([[5, 7, 11], [2, 9, 0]], jnp.int32)
+    lengths = jnp.asarray([3, 2])
+
+    for sampler in (GreedySampler(), BeamSampler(num_beams=2),
+                    ContrastiveSampler(k=2, alpha=0.3)):
+        out = model.generate(variables, prompt, lengths, max_length=7,
+                             sampler=sampler)
+        solo1 = model.generate(variables, jnp.asarray([[2, 9]], jnp.int32),
+                               jnp.asarray([2]), max_length=7,
+                               sampler=sampler)
+        solo0 = model.generate(variables,
+                               jnp.asarray([[5, 7, 11]], jnp.int32),
+                               jnp.asarray([3]), max_length=7,
+                               sampler=sampler)
+        name = type(sampler).__name__
+        np.testing.assert_array_equal(
+            np.asarray(out[1]), np.asarray(solo1[0]), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(out[0]), np.asarray(solo0[0]), err_msg=name)
+        # the former pad column holds a real generated token
+        np.testing.assert_array_equal(np.asarray(out[1, :2]), [2, 9])
+
+
 def test_contrastive_alpha_zero_is_greedy(lm):
     """With alpha=0 the contrastive score is the raw probability, so the
     search degenerates to greedy decoding regardless of k."""

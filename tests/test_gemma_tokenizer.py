@@ -32,6 +32,28 @@ def test_tokenizer_requires_backend():
         tok.tokenize("hi")
 
 
+def test_pad_id_never_negative():
+    # a proto trained with pad disabled reports pad_id() == -1 (the
+    # SentencePiece TrainerSpec default); -1 ids fed to the model would
+    # silently embed row 0 via take()'s clipping, so the tokenizer clamps
+    class NoPadBackend(StubBackend):
+        def pad_id(self):
+            return -1
+
+    tok = GemmaTokenizer(backend=NoPadBackend())
+    assert tok.pad_id == 0
+    pre = GemmaCausalLMPreprocessor(tok, sequence_length=6)
+    ids, lengths = pre(["hello world"])
+    assert (ids >= 0).all()
+
+
+def test_unknown_tokenizer_file_type_is_a_clear_error():
+    from iseg_tpu.nlp.gemma.tokenizer import _load_backend
+
+    with pytest.raises(ValueError, match="unsupported tokenizer file"):
+        _load_backend("vocab.txt")
+
+
 def test_tokenize_roundtrip_with_stub():
     tok = GemmaTokenizer(backend=StubBackend())
     ids = tok.tokenize("hello world")

@@ -97,8 +97,24 @@ def test_unigram_unk_fallback_and_decode():
     m = SentencePieceModel(proto)
     ids = m.encode("ab!b")  # '!' has no piece -> unk
     assert m.unk_id() in ids
-    # decode skips unk (UNKNOWN type) but keeps the rest
-    assert m.decode(ids) == "abb"
+    # decode renders unk as sentencepiece's DefaultUnknownSurface " ⁇ "
+    # (the native backend does the same; dropping it would make the two
+    # backends round-trip to different text)
+    assert m.decode(ids) == "ab ⁇ b"
+
+
+def test_empty_and_whitespace_encode_to_nothing():
+    # sentencepiece encodes "" (and whitespace-only when
+    # remove_extra_whitespaces trims it) to [] — the dummy prefix must
+    # not turn empty input into one whitespace token
+    proto = _unigram_proto([SentencePiece(WS + "a", -0.5)])
+    m = SentencePieceModel(proto)
+    assert m.encode("") == []
+    assert m.encode("   ") == []
+    no_trim = SentencePieceModel(_unigram_proto(
+        [SentencePiece(WS + "a", -0.5)], remove_extra_whitespaces=False))
+    assert no_trim.encode("") == []
+    assert no_trim.encode(" ") != []  # preserved when trimming is off
 
 
 def test_byte_fallback_roundtrip_exact():
