@@ -321,7 +321,9 @@ class RandomHueAugment(DataAugmentationBase):
         self.max_delta = max_delta
 
     def call(self, rng, image, label):
-        theta = rng.uniform(-self.max_delta, self.max_delta) * np.pi
+        # TF's adjust_hue shifts the HSV hue channel (range [0, 1] = one
+        # full circle) by delta, i.e. a rotation of delta * 2 * pi
+        theta = rng.uniform(-self.max_delta, self.max_delta) * (2.0 * np.pi)
         to_yiq = np.array(
             [[0.299, 0.587, 0.114],
              [0.596, -0.274, -0.322],
@@ -375,6 +377,12 @@ class RandomErasingAugment(DataAugmentationBase):
             eh = int(round(np.sqrt(target * aspect)))
             ew = int(round(np.sqrt(target / aspect)))
             if eh < h and ew < w and eh > 0 and ew > 0:
+                # copy before writing: the upstream augments can be
+                # identity pass-throughs/views of the caller's arrays, and
+                # erasing in place would corrupt an in-memory dataset
+                image = image.copy()
+                if label is not None:
+                    label = label.copy()
                 top = int(rng.integers(0, h - eh))
                 left = int(rng.integers(0, w - ew))
                 if self.fill_noise:

@@ -76,9 +76,13 @@ def _augment_one(key, image, label, cfg: DeviceAugmentConfig):
         method="linear", antialias=False,
     )
 
-    # nearest-gather the label with identical geometry
-    dy = (jnp.arange(ch, dtype=jnp.float32) - ty) / scale
-    dx = (jnp.arange(cw, dtype=jnp.float32) - tx) / scale
+    # nearest-gather the label with identical geometry. scale_and_translate
+    # samples output index i at input (i + 0.5 - t)/scale - 0.5 (pixel
+    # CENTERS; jax._src.image.scale compute_weight_mat) — the gather must
+    # use the same formula or labels shift up to half a source pixel
+    # against the image at scale != 1
+    dy = (jnp.arange(ch, dtype=jnp.float32) + 0.5 - ty) / scale - 0.5
+    dx = (jnp.arange(cw, dtype=jnp.float32) + 0.5 - tx) / scale - 0.5
     yi = jnp.round(dy).astype(jnp.int32)
     xi = jnp.round(dx).astype(jnp.int32)
     in_y = (yi >= 0) & (yi < h)
@@ -86,6 +90,17 @@ def _augment_one(key, image, label, cfg: DeviceAugmentConfig):
     valid = in_y[:, None] & in_x[None, :]
     lab = label[jnp.clip(yi, 0, h - 1)][:, jnp.clip(xi, 0, w - 1)]
     lab = jnp.where(valid, lab, cfg.ignore_label)
+
+    # brightness BEFORE the mean-pixel fill (host-pipeline order:
+    # photometric runs before PadAugment, so padded pixels stay exactly
+    # mean_pixel rather than mean + delta)
+    if cfg.random_brightness:
+        delta = jax.random.uniform(
+            k_bri, (), minval=-cfg.brightness_max_delta,
+            maxval=cfg.brightness_max_delta,
+        )
+        img = jnp.clip(img + delta, 0.0, 255.0)
+
     mean_pix = jnp.asarray(cfg.mean_pixel, jnp.float32)
     img = jnp.where(valid[:, :, None], img, mean_pix)
 
@@ -93,13 +108,6 @@ def _augment_one(key, image, label, cfg: DeviceAugmentConfig):
     do_flip = jax.random.bernoulli(k_flip, cfg.flip_prob)
     img = jnp.where(do_flip, img[:, ::-1], img)
     lab = jnp.where(do_flip, lab[:, ::-1], lab)
-
-    if cfg.random_brightness:
-        delta = jax.random.uniform(
-            k_bri, (), minval=-cfg.brightness_max_delta,
-            maxval=cfg.brightness_max_delta,
-        )
-        img = jnp.clip(img + delta, 0.0, 255.0)
 
     if cfg.random_erasing:
         do_erase = jax.random.bernoulli(k_er1, cfg.erase_prob)

@@ -102,6 +102,11 @@ def batched_dataset(
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng((seed, epoch)).shuffle(order)
+    if num_processes > 1:
+        # equalize per-process counts FIRST (shards.shard_batches does the
+        # same): a host with one extra sample would produce one extra
+        # batch whose collectives the other hosts never join -> SPMD hang
+        order = order[: len(order) // num_processes * num_processes]
     order = order[process_index::num_processes]
 
     def load_one(idx: int):
@@ -112,10 +117,10 @@ def batched_dataset(
         return image, label
 
     def to_batch(images, labels):
-        return {
-            "image": np.stack(images).astype(np.float32),
-            "label": np.stack(labels).astype(np.int32),
-        }
+        batch = {"image": np.stack(images).astype(np.float32)}
+        if labels[0] is not None:  # unlabeled (predict-only) datasets
+            batch["label"] = np.stack(labels).astype(np.int32)
+        return batch
 
     if num_workers <= 0:
         images, labels = [], []

@@ -49,7 +49,10 @@ def _canonicalize(
 
     th, tw = store_hw
     h, w = image.shape[:2]
-    scale = min(th / h, tw / w)
+    # only ever SHRINK to fit (like the host ResizeMaxSizeAugment front):
+    # upscaling small images at store time would bake in interpolation the
+    # host recipe never applies — they store at native size + padding
+    scale = min(th / h, tw / w, 1.0)
     nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
 
     img8 = np.clip(image, 0, 255).astype(np.uint8)

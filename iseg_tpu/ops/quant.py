@@ -20,7 +20,7 @@ scan body, forcing per-step fused dequant from int8-resident HBM.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

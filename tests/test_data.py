@@ -183,3 +183,76 @@ def test_batched_dataset_and_process_shard():
     ids1 = {int(b["label"][0, 0, 0]) for b in b1}
     assert ids0 & ids1 == set()
     assert len(ids0 | ids1) == 10
+
+
+def test_batched_dataset_equalizes_process_batch_counts():
+    # an odd dataset size must NOT give one host an extra batch (its
+    # collectives would hang the other hosts) — equalize like shards.py
+    from iseg_tpu.data.loader import batched_dataset
+
+    class OddDS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return (np.full((4, 4, 3), i, np.float32),
+                    np.full((4, 4), i, np.int32))
+
+    counts = [
+        len(list(batched_dataset(
+            OddDS(), batch_size=3, process_index=p, num_processes=2)))
+        for p in (0, 1)
+    ]
+    assert counts[0] == counts[1], counts
+
+
+def test_batched_dataset_unlabeled():
+    # predict-only datasets yield label=None; the batch must omit labels
+    # instead of crashing in np.stack
+    from iseg_tpu.data.loader import batched_dataset
+
+    class NoLabelDS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return np.full((4, 4, 3), i, np.float32), None
+
+    batches = list(batched_dataset(NoLabelDS(), batch_size=2))
+    assert len(batches) == 1
+    assert "label" not in batches[0]
+    assert batches[0]["image"].shape == (2, 4, 4, 3)
+
+
+def test_random_erasing_does_not_mutate_inputs():
+    from iseg_tpu.data.augments import RandomErasingAugment
+
+    rng = np.random.default_rng(0)
+    image = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32) * 255
+    label = np.random.RandomState(1).randint(0, 5, (16, 16)).astype(np.int32)
+    image_before, label_before = image.copy(), label.copy()
+    aug = RandomErasingAugment(prob=1.0)
+    out_i, out_l = aug.call(rng, image, label)
+    np.testing.assert_array_equal(image, image_before)
+    np.testing.assert_array_equal(label, label_before)
+    assert (out_l == 255).any()  # the erase did happen, on a copy
+
+
+def test_hue_rotation_uses_full_circle_convention():
+    # tf.image.adjust_hue's delta is a fraction of the FULL hue circle:
+    # two applications of delta=0.5 are a 720-degree rotation == identity
+    # (under the old half-circle convention they compose to a complement)
+    from iseg_tpu.data.augments import RandomHueAugment
+
+    class FixedRng:
+        def uniform(self, lo, hi):
+            return hi  # always draw +max_delta
+
+    # low saturation keeps the rotated chroma inside the RGB gamut (the
+    # augment clips to [0, 255], which would break the round trip)
+    image = np.random.RandomState(2).rand(8, 8, 3).astype(np.float32) * 40 + 100
+    aug = RandomHueAugment(max_delta=0.5, prob=1.0)
+    once, _ = aug.call(FixedRng(), image.copy(), None)
+    twice, _ = aug.call(FixedRng(), once, None)
+    assert np.abs(once - image).max() > 5.0  # the rotation is nontrivial
+    np.testing.assert_allclose(twice, image, atol=0.3)

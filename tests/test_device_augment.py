@@ -55,6 +55,54 @@ def test_small_scale_pads_with_mean_and_ignore():
     assert (np.asarray(out_l[0]) != 255).sum() > 100
 
 
+def test_label_geometry_matches_image_resample_at_nonunit_scale():
+    # the nearest label gather must use scale_and_translate's half-pixel-
+    # center convention ((i + 0.5 - t)/scale - 0.5). A row-index ramp
+    # "image" resampled linearly gives the exact sampling coordinate, so
+    # the gathered label (its nearest rounding) must stay within half a
+    # source pixel of it with ~zero mean offset; the pre-fix formula was
+    # off by 0.5*(1-scale)/scale, which this catches at every scale.
+    h, w = 32, 40
+    row_ramp = np.broadcast_to(
+        np.arange(h, dtype=np.float32)[:, None], (h, w)).copy()
+    # scales chosen so sample points never land exactly halfway between
+    # source pixels (0.5 with ty=0 puts EVERY sample on a .5 tie, where
+    # nearest is tie-break-defined and the error is legitimately 0.5)
+    for scale in (0.6, 0.8, 1.3, 1.9):
+        cfg = DeviceAugmentConfig(
+            crop_size=(24, 24), min_scale_factor=scale,
+            max_scale_factor=scale, flip_prob=0.0,
+        )
+        aug = make_device_augment(cfg)
+        img = jnp.asarray(np.repeat(row_ramp[None, :, :, None], 3, -1))
+        lab = jnp.asarray(row_ramp[None].astype(np.int32))
+        out_i, out_l = aug(jax.random.PRNGKey(3), img, lab)
+        labels = np.asarray(out_l[0], np.float64)
+        coords = np.asarray(out_i[0, :, :, 0], np.float64)
+        interior = (labels != 255) & (coords > 0.6) & (coords < h - 1.6)
+        assert interior.sum() > 100
+        err = labels[interior] - coords[interior]
+        assert np.abs(err).max() <= 0.5 + 1e-3, f"scale={scale}"
+        assert abs(err.mean()) < 0.12, f"scale={scale} mean={err.mean()}"
+
+
+def test_brightness_keeps_padding_at_mean_pixel():
+    # host order is photometric BEFORE padding, so padded pixels must be
+    # exactly mean_pixel even with brightness on
+    cfg = DeviceAugmentConfig(
+        crop_size=(64, 64), min_scale_factor=0.5, max_scale_factor=0.5,
+        flip_prob=0.0, mean_pixel=(9.0, 9.0, 9.0),
+        random_brightness=True, brightness_max_delta=32.0,
+    )
+    aug = make_device_augment(cfg)
+    images, labels = _batch(h=40, w=48)
+    out_i, out_l = aug(jax.random.PRNGKey(0), images, labels)
+    pad_mask = np.asarray(out_l[0]) == 255
+    assert pad_mask.sum() > 100
+    np.testing.assert_allclose(
+        np.asarray(out_i[0])[pad_mask], 9.0, atol=1e-4)
+
+
 def test_flip_always():
     cfg = DeviceAugmentConfig(
         crop_size=(40, 48), min_scale_factor=1.0, max_scale_factor=1.0,

@@ -72,6 +72,31 @@ def test_roundtrip_same_size_sample(tmp_path):
         np.testing.assert_array_equal(labels[i], ref_lab.astype(np.uint8))
 
 
+def test_small_samples_store_at_native_resolution(tmp_path):
+    """Below-store-size images must NOT be upscaled at store time (the
+    host pipeline never upscales before random-scale; baking in
+    interpolation would be a distribution shift) — they land top-left
+    pixel-exact with padding around."""
+    class _Small:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3) % 200
+            lab = np.arange(4 * 6, dtype=np.int32).reshape(4, 6) % 20
+            return img, lab
+
+    d = str(tmp_path / "s")
+    write_shards(_Small(), d, store_size=(8, 8), ignore_label=255)
+    reader = ShardReader(d)
+    images, labels = reader.gather([0])
+    ref_img, ref_lab = _Small()[0]
+    np.testing.assert_array_equal(images[0, :4, :6], ref_img.astype(np.uint8))
+    np.testing.assert_array_equal(labels[0, :4, :6], ref_lab.astype(np.uint8))
+    assert (labels[0, 4:, :] == 255).all()
+    assert (labels[0, :, 6:] == 255).all()
+
+
 def test_padding_uses_ignore_label_and_mean_pixel(tmp_path):
     """A wide sample lands top-left (aspect preserved); the leftover rows
     are mean pixel / ignore label."""
