@@ -35,7 +35,10 @@ def pixel_contrastive_loss(
     labs = labels.reshape(n, h * w)
 
     total = h * w
-    stride = max(1, total // max_samples)
+    # ceil-division: floor would select only the first max_samples pixels
+    # whenever total is not near a multiple (e.g. 45x45 -> stride 1 ->
+    # top half only), deterministically excluding the image bottom
+    stride = max(1, -(-total // max_samples))
     idx = jnp.arange(0, total, stride)[:max_samples]
     feats = feats[:, idx]
     labs = labs[:, idx]

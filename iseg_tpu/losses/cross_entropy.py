@@ -143,5 +143,11 @@ def cross_entropy_ignore_label(
                 "reduction='global_batch' requires global_batch_size "
                 "(total images per step across all replicas)")
         return total / jnp.float32(global_batch_size)
+    if reduction != "valid_mean":
+        # silently falling through would compute a mean with the wrong
+        # gradient scale for typos like "mean"/"sum_over_batch_size"
+        raise ValueError(
+            f"unknown reduction {reduction!r}: expected none/sum/"
+            "all_mean/global_batch/valid_mean")
     denom = jnp.maximum(jnp.sum(weight_map), 1.0)
     return total / denom

@@ -24,6 +24,11 @@ def dice_loss(
     logits = logits.astype(jnp.float32)
     num_classes = logits.shape[-1]
     mask = valid_mask(labels, ignore_label)[..., None]
+    if ignore_label == 0:
+        # classes stored 1..C shift to channels 0..C-1, matching the CE
+        # term (cross_entropy.py) — otherwise mask_loss's two terms pull
+        # the same logit channel toward different classes
+        labels = labels - 1
     safe_labels = jnp.where(mask[..., 0] > 0, labels, 0).astype(jnp.int32)
     one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=jnp.float32) * mask
     probs = jax.nn.softmax(logits, axis=-1) if from_logits else logits

@@ -18,7 +18,6 @@ def confusion_matrix(
     preds: jax.Array,
     num_classes: int,
     weights: jax.Array | None = None,
-    dtype=jnp.float64,
 ) -> jax.Array:
     """[C, C] confusion matrix; rows = true class, cols = predicted.
 

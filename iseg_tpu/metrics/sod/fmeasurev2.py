@@ -34,9 +34,17 @@ def get_adaptive_threshold(matrix, max_value: float = 1.0) -> float:
 
 def prepare_data(pred, gt):
     """uint8 grayscale -> (pred float in [0,1] mapminmax-normalized,
-    gt bool thresholded at 128) (reference ``sod_metric_utils.py:67``)."""
-    gt = np.asarray(gt) > 128
-    pred = np.asarray(pred, np.float64) / 255.0
+    gt bool thresholded at 128) (reference ``sod_metric_utils.py:67``).
+
+    Already-binary/unit-range gt ({0,1} float or bool, the convention the
+    sibling ``sod_metrics`` module accepts) thresholds at 0.5 — under the
+    uint8 rule ``gt > 128`` such masks would silently become
+    all-background and every handler would report 0."""
+    gt = np.asarray(gt)
+    gt = gt > (0.5 if gt.max() <= 1 else 128)
+    pred = np.asarray(pred, np.float64)
+    if pred.max() > 1:
+        pred = pred / 255.0
     pmax, pmin = pred.max(), pred.min()
     if pmax != pmin:
         pred = (pred - pmin) / (pmax - pmin)

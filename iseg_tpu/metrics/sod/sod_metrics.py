@@ -253,7 +253,14 @@ def _filter_conditional_boundary(points, mask, condition):
     """(boundary points adjacent to ``condition``, count of touched mask
     regions) — reference ``tf_filter_conditional_boundary``
     (``sod_metric_utils.py:915``), with real 3x3 dilation + 4-connected
-    labeling."""
+    labeling.
+
+    Parity note: the reference counts unique region labels at the
+    FILTERED points (its own comment calls this 'simplified') — the
+    original DIS ``_cal_hce`` instead counts regions with NO filtered
+    boundary at all (fully independent regions a human must handle from
+    scratch). We match the reference's behavior deliberately; switch the
+    count to unreached labels to follow the DIS paper instead."""
     from scipy import ndimage
 
     cond = ndimage.binary_dilation(condition, structure=np.ones((3, 3), bool))
@@ -332,6 +339,9 @@ class _StreamingMean:
     def update_state(self, gts, preds):
         gts = np.asarray(gts)
         preds = np.asarray(preds)
+        if gts.ndim == 3 and gts.shape[-1] == 1:
+            # single [H, W, 1] image, NOT a batch of H row-"images"
+            gts, preds = gts[..., 0], preds[..., 0]
         if gts.ndim == 2:
             gts, preds = gts[None], preds[None]
         if gts.ndim == 4:
@@ -384,6 +394,9 @@ class FMeasureV2Metric:
     def update_state(self, gts, preds):
         gts = np.asarray(gts)
         preds = np.asarray(preds)
+        if gts.ndim == 3 and gts.shape[-1] == 1:
+            # single [H, W, 1] image, NOT a batch of H row-"images"
+            gts, preds = gts[..., 0], preds[..., 0]
         if gts.ndim == 2:
             gts, preds = gts[None], preds[None]
         if gts.ndim == 4:

@@ -32,8 +32,14 @@ def process_seg_metric_inputs(
             labels = resize_image(labels[..., None], preds.shape[1:3], "nearest")[..., 0]
         preds = jnp.argmax(preds, axis=-1)
 
-    weights = (labels != ignore_label).astype(jnp.float32)
-    safe_labels = jnp.where(weights > 0, labels, 0)
+    not_ignore = labels != ignore_label
+    if ignore_label == 0:
+        # classes stored 1..C shift down to 0..C-1, matching the CE loss's
+        # shift (reference seg_metric_wrapper.py:60-61); without this the
+        # metric compares every class against the wrong prediction channel
+        labels = labels - 1
+    weights = not_ignore.astype(jnp.float32)
+    safe_labels = jnp.where(not_ignore, labels, 0)
     return safe_labels, preds, weights
 
 
@@ -56,7 +62,16 @@ class SegMetricWrapper:
     def update_state(self, labels, preds):
         if self.pre_compute_fn is not None:
             labels, preds = self.pre_compute_fn(labels, preds)
-        self.metric.update_state(labels, preds)
+        # the wrapper's whole contract: preprocessing runs before the
+        # inner metric (reference seg_metric_wrapper.py:95-102). Wrap RAW
+        # metrics (e.g. a bare confusion accumulator) — self-preprocessing
+        # metrics like MeanIoU need no wrapper and would double-process.
+        labels, preds, weights = process_seg_metric_inputs(
+            labels, preds, ignore_label=self.ignore_label)
+        try:
+            self.metric.update_state(labels, preds, weights)
+        except TypeError:  # inner metric without a sample-weight arg
+            self.metric.update_state(labels, preds)
 
     def result(self):
         return self.metric.result()

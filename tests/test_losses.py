@@ -158,6 +158,41 @@ def test_mask_loss_combination():
     assert np.isfinite(float(v))
 
 
+def test_dice_ignore_zero_shifts_classes_like_ce():
+    # with ignore_label=0, classes 1..C map to channels 0..C-1 in BOTH
+    # loss terms; a perfect (shifted) prediction must score ~0 dice loss
+    labels = jnp.full((1, 8, 8), 2, jnp.int32)  # class 2 -> channel 1
+    labels = labels.at[0, 0, 0].set(0)  # one ignored pixel
+    logits = jnp.zeros((1, 8, 8, 2)).at[..., 1].set(50.0)
+    assert float(dice_loss(logits, labels, ignore_label=0)) < 0.01
+
+
+def test_unknown_reduction_raises():
+    logits, labels = _rand_logits_labels(c=3)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown reduction"):
+        cross_entropy_ignore_label(logits, labels, reduction="mean")
+
+
+def test_contrastive_subsample_covers_whole_image():
+    # ceil-stride: the subsample must reach the image bottom even when
+    # H*W is just above max_samples (floor-stride selected only the top)
+    rng = np.random.RandomState(1)
+    feats = np.tile(rng.randn(1, 1, 1, 8).astype(np.float32), (1, 45, 45, 1))
+    labels = np.zeros((1, 45, 45), np.int32)
+    base = float(pixel_contrastive_loss(
+        jnp.asarray(feats), jnp.asarray(labels), max_samples=1024))
+    # perturb ONLY the bottom rows: the loss must react
+    feats2 = feats.copy()
+    feats2[:, 30:] = rng.randn(1, 15, 45, 8)
+    labels2 = labels.copy()
+    labels2[:, 30:] = 1
+    moved = float(pixel_contrastive_loss(
+        jnp.asarray(feats2), jnp.asarray(labels2), max_samples=1024))
+    assert abs(moved - base) > 1e-6
+
+
 def test_smooth_l1():
     assert float(smooth_l1_loss(jnp.array([0.5]), jnp.array([0.0]))) == 0.125
     assert float(smooth_l1_loss(jnp.array([2.0]), jnp.array([0.0]))) == 1.5

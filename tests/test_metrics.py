@@ -63,6 +63,43 @@ def test_metric_wrapper_resizes_labels():
     assert np.asarray(pred).max() == 1
 
 
+def test_ignore_label_zero_shifts_classes_like_the_loss():
+    # classes stored 1..C with ignore_label=0 (the convention the CE loss
+    # shifts, losses/cross_entropy.py): a PERFECT prediction must score
+    # mIoU 1.0 — without the shift every class lands on the wrong channel
+    m = MeanIoU(num_classes=2, ignore_label=0)
+    labels = jnp.asarray([[[1, 2], [2, 0]]], jnp.int32)  # 0 = ignore
+    logits = jnp.zeros((1, 2, 2, 2))
+    logits = logits.at[0, 0, 0, 0].set(5.0)  # class 1 -> channel 0
+    logits = logits.at[0, 0, 1, 1].set(5.0)  # class 2 -> channel 1
+    logits = logits.at[0, 1, 0, 1].set(5.0)
+    logits = logits.at[0, 1, 1, 0].set(5.0)  # ignored, value irrelevant
+    m.update_state(labels, logits)
+    assert m.result() == 1.0
+
+
+def test_seg_metric_wrapper_preprocesses_before_inner():
+    # the wrapper's contract: ignore masking + argmax run BEFORE the
+    # inner metric (reference seg_metric_wrapper.py:95-102)
+    from iseg_tpu.metrics import SegMetricWrapper
+
+    seen = {}
+
+    class Inner:
+        def update_state(self, labels, preds, weights):
+            seen["labels"] = np.asarray(labels)
+            seen["preds"] = np.asarray(preds)
+            seen["weights"] = np.asarray(weights)
+
+    wrapper = SegMetricWrapper(Inner(), ignore_label=255)
+    labels = jnp.asarray([[[0, 255], [1, 1]]], jnp.int32)
+    logits = jnp.zeros((1, 2, 2, 2)).at[..., 1].set(3.0)
+    wrapper.update_state(labels, logits)
+    assert seen["preds"].shape == (1, 2, 2)  # argmax'd
+    assert seen["weights"][0, 0, 1] == 0.0  # ignore pixel masked
+    assert seen["labels"][0, 0, 1] == 0  # ignore pixel zeroed
+
+
 def test_seg_metric_builder():
     b = SegMetricBuilder(num_classes=2, ignore_label=255)
     b.add()

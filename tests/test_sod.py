@@ -92,6 +92,12 @@ def test_streaming_classes_batch_and_single():
     m.update_state(gt, gt)                       # [H, W]
     m.update_state(gt[None, ..., None], (1 - gt)[None, ..., None])  # [N,H,W,1]
     assert abs(m.result() - 0.5) < 1e-6
+
+    # a single [H, W, 1] image must count as ONE sample, not H row-images
+    m2 = MAEMetric()
+    m2.update_state(gt[..., None], gt[..., None])
+    assert m2._count == 1
+    assert m2.result() == 0.0
     m.reset_state()
     assert m.result() == 0.0
 

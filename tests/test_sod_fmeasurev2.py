@@ -55,6 +55,16 @@ def test_handler_binary_matches_hand_computed(handler_cls, expected):
     assert h.result()["binary"] == pytest.approx(expected, abs=1e-12)
 
 
+def test_binary_01_gt_is_not_all_background():
+    # a {0,1} float mask (the sod_metrics convention) must binarize at
+    # 0.5, not the uint8 128 rule that would zero it out silently
+    pred, gt = _toy_pair()
+    h = IOUHandler(with_dynamic=False, with_adaptive=False, with_binary=True)
+    h.update_state(pred.astype(np.float64), gt.astype(np.float64),
+                   normalize=True)
+    assert h.result()["binary"] > 0.0
+
+
 def test_kappa_matches_hand_computed():
     pred, gt = _toy_pair()
     h = KappaHandler(with_dynamic=False, with_adaptive=False, with_binary=True)
