@@ -112,6 +112,9 @@ class MultiHeadAxialAttention2D(nn.Module):
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
         inner = self.filters or c
+        if inner % self.num_heads != 0:
+            raise ValueError(
+                f"filters {inner} not divisible by heads {self.num_heads}")
         head_dim = inner // self.num_heads
 
         def axial(x_seq, name):
@@ -164,6 +167,8 @@ class DeformableMultiHeadAttention2D(nn.Module):
         n, h, w, c = x.shape
         inner = self.filters or c
         g, p = self.num_heads, self.num_points
+        if inner % g != 0:
+            raise ValueError(f"filters {inner} not divisible by heads {g}")
         head_dim = inner // g
 
         value = nn.Dense(inner, dtype=self.dtype,
@@ -186,15 +191,16 @@ class DeformableMultiHeadAttention2D(nn.Module):
         base = jnp.stack([gy, gx], -1)[None, :, :, None, None, :]  # [1,H,W,1,1,2]
         coords = base + offsets  # [N,H,W,g,p,2]
 
-        vg = value.reshape(n, h, w, g, head_dim)
-        outs = []
-        for gi in range(g):
-            sampled = bilinear_gather(
-                vg[:, :, :, gi], coords[:, :, :, gi].reshape(n, h * w * p, 2)
-            ).reshape(n, h, w, p, head_dim)
-            outs.append(jnp.einsum("nhwpd,nhwp->nhwd", sampled,
-                                   weights[:, :, :, gi]))
-        out = jnp.concatenate(outs, axis=-1)
+        # fold heads into the batch dim: ONE gather covers every head (a
+        # per-head python loop duplicates the gather pipeline g times in
+        # the HLO — same rationale as DCNv3's group folding, dcn.py)
+        vg = (value.reshape(n, h, w, g, head_dim)
+              .transpose(0, 3, 1, 2, 4).reshape(n * g, h, w, head_dim))
+        coords_b = (coords.transpose(0, 3, 1, 2, 4, 5)
+                    .reshape(n * g, h * w * p, 2))
+        sampled = bilinear_gather(vg, coords_b).reshape(n, g, h, w, p, head_dim)
+        out = jnp.einsum("nghwpd,nhwgp->nhwgd", sampled, weights)
+        out = out.reshape(n, h, w, g * head_dim)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                        name="proj")(out)
         return x + out

@@ -40,6 +40,20 @@ def _resolve_act(act: Activation) -> Optional[Callable]:
     return table[act]
 
 
+def _bn_kwargs(norm: str, train: bool,
+               bn_momentum: float = 0.99, bn_epsilon: float = 1e-3) -> dict:
+    """BN constructor kwargs honoring the global set_bn_momentum/
+    set_bn_epsilon overrides (norm.py's contract: the knob re-tunes EVERY
+    BN layer, including depthwise/pre-norm variants)."""
+    if "batch_norm" in norm or norm in ("bn", "syncbn", "sync_bn"):
+        return dict(
+            momentum=resolve_bn_momentum(bn_momentum),
+            epsilon=resolve_bn_epsilon(bn_epsilon),
+            use_running_average=not train,
+        )
+    return {}
+
+
 def _pair(v) -> tuple[int, int]:
     if isinstance(v, int):
         return (v, v)
@@ -83,13 +97,8 @@ class ConvNormAct(nn.Module):
             norm_ctor = normalization(
                 self.norm, dtype=self.dtype, param_dtype=self.param_dtype
             )
-            kwargs = {}
-            if "batch_norm" in self.norm or self.norm in ("bn", "syncbn", "sync_bn"):
-                kwargs = dict(
-                    momentum=resolve_bn_momentum(self.bn_momentum),
-                    epsilon=resolve_bn_epsilon(self.bn_epsilon),
-                    use_running_average=not train,
-                )
+            kwargs = _bn_kwargs(self.norm, train,
+                                self.bn_momentum, self.bn_epsilon)
             x = norm_ctor(name="norm", **kwargs)(x)
         act = _resolve_act(self.act)
         if act is not None:
@@ -118,9 +127,7 @@ class NormConvAct(nn.Module):
             norm_ctor = normalization(
                 self.norm, dtype=self.dtype, param_dtype=self.param_dtype
             )
-            kwargs = {}
-            if "batch_norm" in self.norm or self.norm in ("bn", "syncbn", "sync_bn"):
-                kwargs = dict(use_running_average=not train)
+            kwargs = _bn_kwargs(self.norm, train)
             x = norm_ctor(name="norm", **kwargs)(x)
         x = nn.Conv(
             features=self.filters,
@@ -183,9 +190,7 @@ class SepConvNormAct(nn.Module):
             norm_ctor = normalization(
                 self.norm, dtype=self.dtype, param_dtype=self.param_dtype
             )
-            kwargs = {}
-            if "batch_norm" in self.norm or self.norm in ("bn", "syncbn", "sync_bn"):
-                kwargs = dict(use_running_average=not train)
+            kwargs = _bn_kwargs(self.norm, train)
             x = norm_ctor(name="depthwise_norm", **kwargs)(x)
             if act is not None and not self.pre_act:
                 x = act(x)

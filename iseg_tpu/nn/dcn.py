@@ -114,6 +114,11 @@ class DCNv3(nn.Module):
     #   whenever offsets stay in range).
     # "auto": dense_local_ref when the map qualifies, reference gather
     #   otherwise — drop-in for pretrained weights at dense speed.
+    #   Pretrained ingest auto-calibrates the clamp (backbones/pretrained);
+    #   training FROM SCRATCH under "auto" is exact only while learned
+    #   offsets stay within max_local_offset — offsets drift during
+    #   training, so prefer "gather"/"gather_centered" for from-scratch
+    #   runs, or re-run calibrate_dcn_sampling periodically.
     sampling: str = "gather"
     max_local_offset: int = 2
     dtype: Any = None
@@ -166,35 +171,43 @@ class DCNv3(nn.Module):
         mod_b = modul.transpose(0, 3, 1, 2, 4).reshape(n * g, ho, wo, kk)
 
         sampling = self.sampling
+        if sampling not in ("auto", "gather", "gather_centered",
+                            "dense_local", "dense_local_ref"):
+            raise ValueError(f"unknown DCNv3 sampling mode {sampling!r}")
+        local_ok = (self.stride == 1 and self.dilation == 1)
         if sampling == "auto":
-            sampling = ("dense_local_ref"
-                        if (h == w and self.stride == 1 and self.dilation == 1)
-                        else "gather")
+            sampling = "dense_local_ref" if (h == w and local_ok) else "gather"
+        elif sampling == "dense_local" and not local_ok:
+            # the dense-local machinery is stride-1/dilation-1 only; stay
+            # in the SAME (centered) semantics family rather than silently
+            # switching to the reference-quirk sampler
+            sampling = "gather_centered"
+        elif sampling == "dense_local_ref" and not (h == w and local_ok):
+            sampling = "gather"  # same reference semantics, general geometry
 
-        # calibration tap: when the caller mutes "intermediates"
+        # calibration tap: when the caller mutes "dcn_calibration"
         # (see iseg_tpu.nn.dcn.calibrate_dcn_sampling), record the max
         # reference-effective offset magnitude this layer produces — the
-        # quantity the dense-local clamp must cover for exactness. Unused
-        # otherwise (not stored, DCE'd by XLA).
-        if (self.is_mutable_collection("intermediates")
-                and h == w and self.stride == 1 and self.dilation == 1):
+        # quantity the dense-local clamp must cover for exactness. A
+        # dedicated collection so ordinary HookPoint "intermediates" taps
+        # don't pay for (or receive) the offset statistics.
+        if (self.is_mutable_collection("dcn_calibration")
+                and h == w and local_ok):
             from iseg_tpu.ops.deform import dcnv3_ref_effective_offsets
 
             eff_stat = dcnv3_ref_effective_offsets(
                 off_b, h, w, kernel_size=k, offset_scale=self.offset_scale)
-            self.sow("intermediates", "dcn_offset_mag",
+            self.sow("dcn_calibration", "dcn_offset_mag",
                      jnp.max(jnp.abs(eff_stat.astype(jnp.float32))))
 
-        if (sampling == "dense_local" and self.stride == 1
-                and self.dilation == 1):
+        if sampling == "dense_local":
             from iseg_tpu.ops.deform import deform_dense_local
 
             out = deform_dense_local(
                 vg, off_b * self.offset_scale, mod_b, kernel_size=k,
                 max_offset=self.max_local_offset,
             )  # [N*G, Ho, Wo, gc]
-        elif (sampling == "dense_local_ref" and self.stride == 1
-                and self.dilation == 1):
+        elif sampling == "dense_local_ref":
             from iseg_tpu.ops.deform import (
                 dcnv3_ref_effective_offsets,
                 deform_dense_local,
@@ -238,7 +251,7 @@ def calibrate_dcn_sampling(model, variables, x, train: bool = False,
 
     The dense-local fast path is EXACT while every effective offset stays
     within its clamp ``max_local_offset`` = r, at a cost growing with
-    ``(K + 2r)^2``. This runs the model once with the "intermediates"
+    ``(K + 2r)^2``. This runs the model once with the "dcn_calibration"
     collection mutable (each DCNv3 sows its max |effective offset|), then
     recommends the smallest exact r per layer, falling back to the gather
     path when r would exceed ``max_dense_r``.
@@ -250,12 +263,12 @@ def calibrate_dcn_sampling(model, variables, x, train: bool = False,
 
     kwargs = {"train": train} if train is not None else {}
     try:
-        _, state = model.apply(variables, x, mutable=["intermediates"],
+        _, state = model.apply(variables, x, mutable=["dcn_calibration"],
                                **kwargs)
     except TypeError:  # model without a train kwarg
-        _, state = model.apply(variables, x, mutable=["intermediates"])
+        _, state = model.apply(variables, x, mutable=["dcn_calibration"])
 
-    flat = flax.traverse_util.flatten_dict(state.get("intermediates", {}))
+    flat = flax.traverse_util.flatten_dict(state.get("dcn_calibration", {}))
     report = {}
     for path, value in flat.items():
         if path[-1] != "dcn_offset_mag":

@@ -75,8 +75,25 @@ class SemanticFPN(nn.Module):
         target_hw = (pyramid[0].shape[1], pyramid[0].shape[2])
         fused = None
         for i, p in enumerate(pyramid):
-            h = ConvNormAct(filters=self.fuse_filters, kernel_size=3,
-                            name=f"merge{i}", **common)(p, train=train)
+            # Semantic-FPN structure: one (3x3 conv + norm + act) per 2x
+            # stage, each followed by a 2x bilinear upsample — NOT one conv
+            # and a single direct jump (the coarsest level is refined at
+            # every intermediate scale)
+            import math
+
+            n_up = max(0, int(round(math.log2(
+                max(target_hw[0] / p.shape[1], target_hw[1] / p.shape[2])))))
+            h = p
+            for s in range(max(1, n_up)):
+                h = ConvNormAct(filters=self.fuse_filters, kernel_size=3,
+                                name=f"merge{i}_{s}", **common)(h, train=train)
+                if n_up > 0:
+                    step_hw = (
+                        target_hw if s == n_up - 1  # land exactly (odd sizes)
+                        else (min(h.shape[1] * 2, target_hw[0]),
+                              min(h.shape[2] * 2, target_hw[1]))
+                    )
+                    h = resize_image(h, step_hw, "bilinear")
             if h.shape[1:3] != target_hw:
                 h = resize_image(h, target_hw, "bilinear")
             fused = h if fused is None else fused + h

@@ -33,7 +33,7 @@ NASFPN_BLOCK_SPECS = (
 _MIN_LEVEL = 3
 
 
-def _resample(x, target_hw, dtype):
+def _resample(x, target_hw):
     h, w = x.shape[1], x.shape[2]
     th, tw = target_hw
     if (h, w) == (th, tw):
@@ -86,8 +86,8 @@ class NASFPN(nn.Module):
             outputs = {}
             for spec_idx, (lvl, op, (ia, ib), is_out) in enumerate(self.block_specs):
                 target_hw = level_hw[lvl]
-                a = _resample(nodes[ia], target_hw, self.dtype)
-                b = _resample(nodes[ib], target_hw, self.dtype)
+                a = _resample(nodes[ia], target_hw)
+                b = _resample(nodes[ib], target_hw)
                 merged = a + b.astype(a.dtype) if op == "sum" else _global_attention(a, b)
                 merged = nn.relu(merged)
                 merged = ConvNormAct(

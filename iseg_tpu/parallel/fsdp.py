@@ -64,20 +64,43 @@ def fsdp_spec(shape, axis_size: int, axis: str = DATA_AXIS,
 
 
 def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = DATA_AXIS,
-                   min_size: int = 2 ** 14) -> Any:
+                   min_size: int = 2 ** 14,
+                   base_specs: Any = None) -> Any:
     """Leaf-wise NamedSharding pytree for params or optimizer state.
 
     Pass the result as ``in_shardings``/``out_shardings`` of the jitted
     train step, or to :func:`shard_fsdp` for initial placement. Non-array
     leaves (e.g. optax count scalars) map to replicated.
+
+    ``base_specs`` (optional pytree of PartitionSpec matching ``tree``,
+    e.g. a Gemma TP layout from ``nlp/gemma/layout.py``) composes TP with
+    FSDP: dims already taken by the base spec keep their model-axis
+    sharding and FSDP shards the largest FREE dim over ``axis`` — without
+    it, the data-axis-only specs would silently resolve TP weights to
+    replicated over ``model``.
     """
 
-    def _one(x):
+    def _one(x, base=None):
         shape = getattr(x, "shape", ())
-        return NamedSharding(mesh, fsdp_spec(shape, mesh.shape[axis],
-                                             axis=axis, min_size=min_size))
+        if base is None or all(a is None for a in tuple(base)):
+            return NamedSharding(mesh, fsdp_spec(
+                shape, mesh.shape[axis], axis=axis, min_size=min_size))
+        base_t = tuple(base) + (None,) * (len(shape) - len(tuple(base)))
+        free = [i for i, a in enumerate(base_t) if a is None]
+        merged = list(base_t)
+        if int(np.prod(shape, dtype=np.int64)) >= min_size:
+            best = None
+            for i in free:
+                if shape[i] % mesh.shape[axis] == 0 and shape[i] > 0:
+                    if best is None or shape[i] > shape[best]:
+                        best = i
+            if best is not None:
+                merged[best] = axis
+        return NamedSharding(mesh, P(*merged))
 
-    return jax.tree_util.tree_map(_one, tree)
+    if base_specs is None:
+        return jax.tree_util.tree_map(_one, tree)
+    return jax.tree_util.tree_map(_one, tree, base_specs)
 
 
 def shard_fsdp(tree: Any, mesh: Mesh, axis: str = DATA_AXIS,

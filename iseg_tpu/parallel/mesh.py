@@ -65,13 +65,30 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = DATA_AXIS) -> Any:
     """Device-put a pytree of host arrays with dim-0 sharded over ``data``.
 
     Host-side analogue of the reference's dataset distribution
-    (``core_train.py:155-195``): each process contributes its local shard.
+    (``core_train.py:155-195``): each process contributes its LOCAL shard
+    (the loader gives every host a disjoint slice). Multi-host assembly
+    goes through ``jax.make_array_from_process_local_data`` — a plain
+    ``device_put`` against a non-addressable sharding would treat each
+    host's local batch as the GLOBAL array and silently slice away
+    everyone else's rows.
     """
 
     n_shards = mesh.shape[axis]
+    multihost = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
+        sharding = batch_sharding(mesh, x.ndim, axis)
+        if multihost:
+            local = x.shape[0]
+            per_process = n_shards // jax.process_count()
+            if per_process == 0 or local % per_process != 0:
+                raise ValueError(
+                    f"local batch {local} is not divisible by this "
+                    f"process's {axis}-axis share ({per_process})")
+            global_shape = (local * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape)
         if x.shape[0] % n_shards != 0:
             raise ValueError(
                 f"global batch {x.shape[0]} is not divisible by the "

@@ -56,18 +56,21 @@ def _ring_device_program(q, k, v, q_pos, kv_pos, *, axis: str, n: int,
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def block(qf, k_c, v_c, kvp_c, m, l, acc):
-        # scores for the local queries against the current K/V block;
-        # GQA repeat happens here, on the transient block only
-        if rep > 1:
-            k_c = jnp.repeat(k_c, rep, axis=2)
-            v_c = jnp.repeat(v_c, rep, axis=2)
-        s = jnp.einsum("bthd,bshd->bhts", qf, k_c.astype(jnp.float32))
+        # grouped-query scores: contract against the UNREPEATED K/V block
+        # (a repeat to h heads would materialize rep x the block bytes the
+        # ring rotates to save); q head j = kv head j // rep, the same
+        # contiguous grouping jnp.repeat would give
+        kf = k_c.astype(jnp.float32)
+        vf = v_c.astype(jnp.float32)
+        ts = kf.shape[1]
+        qg = qf.reshape(b, tl, kvh, rep, d)
+        s = jnp.einsum("btkrd,bskd->bkrts", qg, kf).reshape(b, h, tl, ts)
+        pad_ok = (kvp_c >= 0)[:, None, None, :]  # sentinel -1 = padding
         if causal:
-            allowed = kvp_c[:, None, None, :] <= q_pos[:, None, :, None]
+            allowed = pad_ok & (
+                kvp_c[:, None, None, :] <= q_pos[:, None, :, None])
         else:
-            allowed = (kvp_c >= 0)[:, None, None, :] & jnp.ones(
-                (1, 1, tl, 1), bool
-            )
+            allowed = pad_ok & jnp.ones((1, 1, tl, 1), bool)
         s = jnp.where(allowed, s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         # masked entries must not contribute even when the whole block is
@@ -75,9 +78,10 @@ def _ring_device_program(q, k, v, q_pos, kv_pos, *, axis: str, n: int,
         p = jnp.where(allowed, jnp.exp(s - m_new[..., None]), 0.0)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1)
+        pg = p.reshape(b, kvh, rep, tl, ts)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "bhts,bshd->bthd", p, v_c.astype(jnp.float32)
-        ).transpose(0, 2, 1, 3)
+            "bkrts,bskd->bkrtd", pg, vf
+        ).reshape(b, h, tl, d)
         return m_new, l, acc
 
     block = jax.checkpoint(block)  # recompute s/p in backward

@@ -21,12 +21,20 @@ def bucket_hw(
     multiple: int = 128,
     max_hw: tuple[int, int] | None = None,
 ) -> tuple[int, int]:
-    """Round (h, w) up to the bucket grid."""
+    """Round (h, w) up to the bucket grid.
+
+    The result is always >= (h, w): ``max_hw`` caps the GRID, not the
+    image — an input larger than the cap keeps its (grid-rounded) size,
+    since a bucket smaller than the image would make the caller's
+    ``out[:h, :w] = image`` padding write out of bounds. Resize before
+    bucketing to bound compute for oversized inputs."""
     bh = math.ceil(h / multiple) * multiple
     bw = math.ceil(w / multiple) * multiple
     if max_hw is not None:
-        bh = min(bh, max_hw[0])
-        bw = min(bw, max_hw[1])
+        if min(bh, max_hw[0]) >= h:
+            bh = min(bh, max_hw[0])
+        if min(bw, max_hw[1]) >= w:
+            bw = min(bw, max_hw[1])
     return bh, bw
 
 

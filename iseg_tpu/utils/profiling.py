@@ -53,6 +53,9 @@ class StepTimer:
         return {
             "mean_s": sum(s) / n,
             "p50_s": s[n // 2],
-            "p90_s": s[min(n - 1, int(n * 0.9))],
+            # nearest-rank p90: ceil(0.9n)-1, NOT int(0.9n) (which lands
+            # on the max for most n — one recompile straggler would then
+            # masquerade as the p90)
+            "p90_s": s[max(0, -(-9 * n // 10) - 1)],
             "steps": n,
         }

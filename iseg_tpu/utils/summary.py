@@ -16,6 +16,8 @@ import os
 import socket
 import struct
 import time
+
+_WRITER_SEQ = 0  # per-process writer counter (filename uniqueness)
 from typing import Mapping, Optional
 
 # -- CRC32C (Castagnoli), table-driven --------------------------------------
@@ -52,6 +54,10 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative int64 as two's complement (10 bytes);
+        # Python's arithmetic shift would loop forever on a negative n
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         bits = n & 0x7F
@@ -119,9 +125,16 @@ class SummaryWriter:
 
     def __init__(self, logdir: str, filename_suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
+        # pid + a process-wide counter disambiguate writers created in the
+        # same second on one host (e.g. train + eval loggers on one
+        # logdir) — two handles on one file would interleave and corrupt
+        # the TFRecord framing
+        global _WRITER_SEQ
+        _WRITER_SEQ += 1
         name = (
             f"events.out.tfevents.{int(time.time())}."
-            f"{socket.gethostname()}{filename_suffix}"
+            f"{socket.gethostname()}.{os.getpid()}.{_WRITER_SEQ}"
+            f"{filename_suffix}"
         )
         self.path = os.path.join(logdir, name)
         self._f = open(self.path, "ab")
@@ -166,10 +179,12 @@ def read_event_scalars(path: str) -> list[tuple[int, str, float]]:
                 break
             (length,) = struct.unpack("<Q", header)
             (hcrc,) = struct.unpack("<I", f.read(4))
-            assert hcrc == _masked_crc(header), "corrupt record header"
+            if hcrc != _masked_crc(header):  # not assert: -O must not skip
+                raise ValueError(f"corrupt record header in {path}")
             data = f.read(length)
             (dcrc,) = struct.unpack("<I", f.read(4))
-            assert dcrc == _masked_crc(data), "corrupt record payload"
+            if dcrc != _masked_crc(data):
+                raise ValueError(f"corrupt record payload in {path}")
             rows.extend(_parse_event(data))
     return rows
 

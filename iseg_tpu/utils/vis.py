@@ -20,12 +20,20 @@ class VisualizationManager:
 
     def record(self, name: str, tensor: Any) -> Any:
         """Record a tensor under ``name`` (identity passthrough). Works both
-        eagerly and under jit."""
-        if not self.enabled:
-            return tensor
+        eagerly and under jit.
+
+        The ``enabled`` gate is checked INSIDE the host callback, at run
+        time: a trace-time check would bake the gate into the compiled
+        program, so toggling ``enabled`` after the first jit compile would
+        silently do nothing in either direction (the reference gates per
+        call, ``vis/vismanager.py:20-58``). Cost when disabled: the
+        device->host transfer of recorded tensors still happens — keep
+        ``record`` calls out of steady-state hot loops, or slice what you
+        record."""
 
         def _store(x):
-            self._records.setdefault(name, []).append(np.asarray(x))
+            if self.enabled:
+                self._records.setdefault(name, []).append(np.asarray(x))
 
         jax.debug.callback(_store, tensor)
         return tensor

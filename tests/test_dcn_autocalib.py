@@ -70,6 +70,49 @@ def test_calibrated_model_matches_reference_gather(doctored):
     assert np.abs(out_raw - out_ref).max() > 1e-3
 
 
+def test_calibration_tap_stays_out_of_intermediates():
+    # HookPoint users mutate "intermediates"; the offset statistics live
+    # in their own "dcn_calibration" collection so feature taps neither
+    # pay for nor receive them
+    import jax.numpy as jnp
+    from iseg_tpu.nn.dcn import DCNv3
+
+    m = DCNv3(filters=8, groups=2, sampling="gather")
+    x = jnp.zeros((1, 8, 8, 8))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    _, state = m.apply(variables, x, mutable=["intermediates"])
+    assert "dcn_offset_mag" not in str(state.get("intermediates", {}))
+    _, state = m.apply(variables, x, mutable=["dcn_calibration"])
+    assert "dcn_offset_mag" in str(state.get("dcn_calibration", {}))
+
+
+def test_invalid_sampling_mode_raises():
+    import jax.numpy as jnp
+    import pytest
+    from iseg_tpu.nn.dcn import DCNv3
+
+    m = DCNv3(filters=8, groups=2, sampling="dense-local")  # typo
+    with pytest.raises(ValueError, match="unknown DCNv3 sampling"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8)))
+
+
+def test_dense_local_strided_falls_back_to_centered_gather():
+    # stride=2 cannot take the dense-local machinery; the fallback must
+    # stay in the CENTERED semantics family (== gather_centered), not the
+    # reference-quirk sampler
+    import jax.numpy as jnp
+    import numpy as np
+    from iseg_tpu.nn.dcn import DCNv3
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8), jnp.float32)
+    out_dl = DCNv3(filters=8, groups=2, stride=2, sampling="dense_local")
+    out_gc = DCNv3(filters=8, groups=2, stride=2, sampling="gather_centered")
+    v = out_dl.init(jax.random.PRNGKey(0), x)
+    a = out_dl.apply(v, x)
+    b = out_gc.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_small_offsets_keep_fast_path():
     """Freshly-initialized (zero-offset-head) models stay on the
     dense-local fast path with the default clamp."""

