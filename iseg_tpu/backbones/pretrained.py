@@ -123,14 +123,40 @@ def load_pretrained_backbone(
         from iseg_tpu.core.h5_ingest import load_h5_weights_by_name
 
         # weight maps address paths below a "backbone" segment (the
-        # SegManaged composition layout); wrap, ingest, unwrap
+        # SegManaged composition layout); wrap, ingest, unwrap. User-
+        # supplied maps/resolvers address the UNWRAPPED paths they can
+        # actually see ("params/stem/..."), so translate both ways.
         wrapped = {coll: {"backbone": variables[coll]} for coll in variables}
+
+        def _wrap_key(k: str) -> str:
+            segs = k.split("/")
+            if len(segs) > 1 and segs[1] == "backbone":
+                return k  # already wrapped (family maps build from wrapped)
+            return "/".join([segs[0], "backbone", *segs[1:]])
+
+        def _unwrap_key(k: str) -> str:
+            segs = k.split("/")
+            if len(segs) > 1 and segs[1] == "backbone":
+                return "/".join([segs[0], *segs[2:]])
+            return k
+
         mapping = name_map
         if name_map == "auto":
             map_fn = name_map_for(name)
             mapping = map_fn(wrapped) if map_fn else None
         elif callable(name_map):
-            mapping = name_map(wrapped)
+            # a family-style builder returns a dict from the variables;
+            # anything else is h5_ingest's str->str resolver contract
+            try:
+                built = name_map(wrapped)
+            except Exception:
+                built = None
+            if isinstance(built, dict):
+                mapping = built
+            else:
+                mapping = lambda p, _fn=name_map: _fn(_unwrap_key(p))
+        if isinstance(mapping, dict):
+            mapping = {_wrap_key(k): v for k, v in mapping.items()}
         wrapped, load_report = load_h5_weights_by_name(
             wrapped, weights_path, name_map=mapping, strict=strict
         )

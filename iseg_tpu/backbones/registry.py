@@ -33,11 +33,16 @@ def list_backbones() -> list[str]:
     return sorted(_REGISTRY)
 
 
+_BUILTIN_IMPORT_ERRORS: dict[str, str] = {}
+
+
 def _ensure_builtins():
     # Import-time registration of the built-in zoo (lazy to avoid cycles).
-    import iseg_tpu.backbones.mobilenetv2  # noqa: F401
-
+    # Import failures are RECORDED, not swallowed: a typo'd import inside
+    # a backbone module must not degrade into an unexplained "unknown
+    # backbone" KeyError later (get_backbone re-surfaces the cause).
     for mod in (
+        "mobilenetv2",
         "resnet",
         "xception",
         "efficientnet",
@@ -53,8 +58,8 @@ def _ensure_builtins():
     ):
         try:
             __import__(f"iseg_tpu.backbones.{mod}")
-        except ImportError:
-            pass
+        except ImportError as e:
+            _BUILTIN_IMPORT_ERRORS[mod] = repr(e)
 
 
 def get_backbone(
@@ -67,8 +72,10 @@ def get_backbone(
     (reference ``backbones/feature_extractor.py:35``)."""
     _ensure_builtins()
     if name not in _REGISTRY:
+        extra = (f"; builtin modules that FAILED to import: "
+                 f"{_BUILTIN_IMPORT_ERRORS}" if _BUILTIN_IMPORT_ERRORS else "")
         raise KeyError(
-            f"unknown backbone {name!r}; registered: {sorted(_REGISTRY)}"
+            f"unknown backbone {name!r}; registered: {sorted(_REGISTRY)}{extra}"
         )
     return _REGISTRY[name](
         output_stride=output_stride, return_endpoints=return_endpoints, **kwargs

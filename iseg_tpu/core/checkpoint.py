@@ -56,22 +56,34 @@ class ModelHelper:
             restored = self._manager.restore(
                 step, args=ocp.args.StandardRestore(template)
             )
-        except Exception:
-            if "ema_params" not in template:
-                raise
-            # enabling EMA mid-run: the on-disk checkpoint predates EMA and
-            # has no ema_params item — restore everything else and seed the
-            # EMA from the restored params (the same initialization
-            # create_train_state uses at step 0)
-            slim = {k: v for k, v in template.items() if k != "ema_params"}
-            restored = dict(
-                self._manager.restore(
-                    step, args=ocp.args.StandardRestore(slim)
-                )
-            )
-            restored["ema_params"] = jax.tree_util.tree_map(
-                lambda x: x, restored["params"]
-            )
+        except Exception as first_err:
+            # EMA on/off transitions change the checkpoint tree in BOTH
+            # directions; retry with the adjusted template and, if the
+            # retry also fails, surface the ORIGINAL error (a corrupt
+            # checkpoint must not masquerade as an EMA-shape problem)
+            try:
+                if "ema_params" in template:
+                    # enabling EMA mid-run: disk predates EMA — restore
+                    # everything else and seed the EMA from the restored
+                    # params (create_train_state's step-0 initialization)
+                    slim = {k: v for k, v in template.items()
+                            if k != "ema_params"}
+                    restored = dict(self._manager.restore(
+                        step, args=ocp.args.StandardRestore(slim)))
+                    restored["ema_params"] = jax.tree_util.tree_map(
+                        lambda x: x, restored["params"])
+                else:
+                    # disabling EMA mid-run: disk carries an ema_params
+                    # item the template lacks — restore it into a
+                    # params-shaped dummy and drop it
+                    fat = dict(template)
+                    fat["ema_params"] = jax.tree_util.tree_map(
+                        lambda x: x, template["params"])
+                    restored = dict(self._manager.restore(
+                        step, args=ocp.args.StandardRestore(fat)))
+                    restored.pop("ema_params")
+            except Exception:
+                raise first_err
         # return UNCOMMITTED arrays: orbax pins restored buffers to specific
         # devices, which conflicts with mesh-sharded batches at the next jit
         # dispatch; a host round-trip at restore time keeps them movable

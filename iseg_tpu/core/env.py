@@ -95,7 +95,11 @@ def set_random_seed(seed: int) -> None:
     randomness is explicit via ``jax.random`` keys derived from this seed."""
     _py_random.seed(seed)
     np.random.seed(seed)
-    os.environ.setdefault("PYTHONHASHSEED", str(seed))
+    # NOTE: CPython fixes hash randomization only when PYTHONHASHSEED is
+    # set BEFORE interpreter start — setting it here cannot affect this
+    # process (export it in the launcher for hash-order determinism);
+    # still exported so subprocesses inherit it
+    os.environ["PYTHONHASHSEED"] = str(seed)
 
 
 def common_env_clean(env: MeshEnv | None = None) -> None:

@@ -199,7 +199,9 @@ def load_h5_weights_by_name(
     Returns (new_variables, report dict with 'loaded'/'missing' lists).
     """
     if isinstance(h5_path, str):
-        weights = read_h5_weights(h5_path)
+        # full format dispatch (.h5/.keras/TF-ckpt), not h5-only — the
+        # reference accepts all three (feature_extractor.py:166-187)
+        weights = read_pretrained_weights(h5_path)
     else:
         weights = {normalize_weight_name(k): np.asarray(v)
                    for k, v in h5_path.items()}
@@ -211,6 +213,7 @@ def load_h5_weights_by_name(
         canon_index[canonical_ref_name(k)] = k
 
     loaded, missing = [], []
+    heuristic_fallback = []  # mapped ingests: paths the map did NOT cover
 
     def lookup(path_str: str, leaf: np.ndarray) -> Optional[np.ndarray]:
         if callable(name_map):
@@ -237,6 +240,10 @@ def load_h5_weights_by_name(
             return np.asarray(transform(w)) if transform is not None else w
 
         # heuristic: match by tail leaf synonym + module path tokens + shape
+        if isinstance(name_map, dict) and name_map:
+            # an explicit map was given but did not cover this path —
+            # record it so a silently-heuristic assignment is auditable
+            heuristic_fallback.append(path_str)
         segs = path_str.lower().split("/")
         leaf_name = segs[-1]
         synonyms = (leaf_name,) + _LEAF_SYNONYMS.get(leaf_name, ())
@@ -255,8 +262,11 @@ def load_h5_weights_by_name(
         candidates.sort(key=lambda t: -t[0])
         best_score, best = candidates[0]
         ties = [c for s, c in candidates if s == best_score]
-        if len(ties) > 1 and best_score == 0:
-            return None  # ambiguous
+        if len(ties) > 1:
+            # ambiguous at ANY score: picking dict order would silently
+            # hand one layer another layer's weights (same shape, same
+            # token overlap — e.g. bn1 vs bn2 under one block)
+            return None
         return weights[best]
 
     def assign(path, leaf):
@@ -276,7 +286,8 @@ def load_h5_weights_by_name(
         raise ValueError(f"unmatched parameters: {missing[:10]} (+{len(missing)-10 if len(missing)>10 else 0})")
     if verbose:
         print(f"h5 ingest: loaded {len(loaded)}, missing {len(missing)}")
-    return new_vars, {"loaded": loaded, "missing": missing}
+    return new_vars, {"loaded": loaded, "missing": missing,
+                      "heuristic_fallback": heuristic_fallback}
 
 
 def save_h5_weights(variables, h5_path: str) -> None:

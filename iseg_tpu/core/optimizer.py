@@ -135,7 +135,15 @@ def lr_multiplier_tree(
 
 
 def scale_by_lr_multipliers(multiplier_tree) -> optax.GradientTransformation:
-    """optax transform applying a static per-leaf multiplier to updates."""
+    """optax transform applying a static per-leaf multiplier to updates.
+
+    Multipliers are matched by PATH, not tree structure: under
+    ``optax.multi_transform`` the masked update tree replaces non-group
+    leaves with ``MaskedNode`` (zero leaves), so a structural
+    ``tree_map(updates, multiplier_tree)`` would raise on the first step
+    of any multi-optimizer + lr_multipliers combination."""
+    flat = {path: m for path, m in
+            jax.tree_util.tree_flatten_with_path(multiplier_tree)[0]}
 
     def init_fn(params):
         del params
@@ -143,8 +151,8 @@ def scale_by_lr_multipliers(multiplier_tree) -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         del params
-        updates = jax.tree_util.tree_map(
-            lambda u, m: u * m, updates, multiplier_tree
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, u: u * flat.get(path, 1.0), updates
         )
         return updates, state
 
@@ -228,7 +236,10 @@ def get_optimizer(
         )
     elif decay_strategy == "cosine":
         schedule = warmup_cosine_decay(
-            learning_rate, train_steps, warmup_steps=warmup_steps
+            learning_rate, train_steps, warmup_steps=warmup_steps,
+            # the floor LR must not be silently ignored for cosine
+            alpha=(end_learning_rate / learning_rate
+                   if learning_rate else 0.0),
         )
     elif decay_strategy in (None, "none", "constant"):
         schedule = optax.constant_schedule(learning_rate)
@@ -250,14 +261,21 @@ def get_optimizer(
                     weight_decay, mask=lambda p: weight_decay_mask(p, extra_no_decay)
                 )
             )
-    elif name == "adam":
+    elif name in ("adam", "amsgrad"):
+        scale_by = (optax.scale_by_adam if name == "adam"
+                    else optax.scale_by_amsgrad)
         chain.append(
-            optax.scale_by_adam(b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon)
+            scale_by(b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon)
         )
-    elif name == "amsgrad":
-        chain.append(
-            optax.scale_by_amsgrad(b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon)
-        )
+        if weight_decay:
+            # a requested decay must never silently vanish; for adam this
+            # is decoupled (AdamW-style) decay, the reference's Keras
+            # optimizers apply the same (keras weight_decay is decoupled)
+            chain.append(
+                optax.add_decayed_weights(
+                    weight_decay, mask=lambda p: weight_decay_mask(p, extra_no_decay)
+                )
+            )
     elif name == "adamw":
         chain.append(
             optax.scale_by_adam(b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon)

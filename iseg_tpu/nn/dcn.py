@@ -191,7 +191,11 @@ class DCNv3(nn.Module):
         # quantity the dense-local clamp must cover for exactness. A
         # dedicated collection so ordinary HookPoint "intermediates" taps
         # don't pay for (or receive) the offset statistics.
-        if (self.is_mutable_collection("dcn_calibration")
+        # not during init: flax denies only "intermediates" there, so an
+        # unguarded sow would bake a dcn_calibration collection into every
+        # DCNv3 model's initial variables
+        if (not self.is_initializing()
+                and self.is_mutable_collection("dcn_calibration")
                 and h == w and local_ok):
             from iseg_tpu.ops.deform import dcnv3_ref_effective_offsets
 

@@ -85,6 +85,49 @@ def test_h5_roundtrip_and_by_name(tmp_path):
         np.asarray(restored["batch_stats"]["stem"]["norm"]["var"]), 1.0)
 
 
+def test_keras_archive_path_dispatches(tmp_path):
+    # load_h5_weights_by_name with a .keras STRING path must go through
+    # the format dispatch (it used to call the h5 reader directly and die
+    # on the zip signature)
+    import zipfile
+
+    pytest.importorskip("h5py")
+    from iseg_tpu.core.h5_ingest import (
+        load_h5_weights_by_name,
+        save_h5_weights,
+    )
+
+    variables = {"params": {"stem": {"conv": {"kernel": jnp.ones((3, 3, 3, 4))}}}}
+    inner = str(tmp_path / "model.weights.h5")
+    save_h5_weights(variables, inner)
+    archive = str(tmp_path / "m.keras")
+    with zipfile.ZipFile(archive, "w") as z:
+        z.write(inner, "model.weights.h5")
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, variables)
+    restored, report = load_h5_weights_by_name(template, archive)
+    assert not report["missing"]
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["stem"]["conv"]["kernel"]), 1.0)
+
+
+def test_heuristic_rejects_positive_score_ties(tmp_path):
+    # two same-shape weights sharing all matching tokens must NOT be
+    # assigned by dict order — ambiguity goes to 'missing'
+    pytest.importorskip("h5py")
+    from iseg_tpu.core.h5_ingest import load_h5_weights_by_name
+
+    weights = {
+        "block1/bn1/gamma": np.full((4,), 1.0, np.float32),
+        "block1/bn2/gamma": np.full((4,), 2.0, np.float32),
+    }
+    template = {"params": {"block1": {"bn": {"scale": jnp.zeros((4,))}}}}
+    restored, report = load_h5_weights_by_name(template, weights)
+    assert report["missing"]  # ambiguous, not silently assigned
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["block1"]["bn"]["scale"]), 0.0)
+
+
 def test_h5_keras_style_names(tmp_path):
     """Keras-2-style file: layer/layer/weight:0 names, gamma/moving_mean
     vocabulary -> mapped onto flax scale/mean."""

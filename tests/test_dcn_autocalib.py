@@ -138,6 +138,36 @@ def test_name_map_resolution():
     assert name_map_for("placeholder") is None
 
 
+def test_load_pretrained_name_map_accepts_unwrapped_paths(tmp_path):
+    """Explicit user name_map keys address the model's VISIBLE variable
+    paths ('params/stem/...'); the internal 'backbone' wrapping must not
+    leak into the user contract."""
+    h5py = pytest.importorskip("h5py")
+    from iseg_tpu.backbones import get_backbone
+
+    bb = get_backbone("mobilenetv2", width_multiplier=0.35)
+    variables = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # one visible path -> custom h5 name
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    vis_path = "/".join(str(getattr(p, "key", p)) for p in flat[0][0])
+    shape = np.asarray(flat[0][1]).shape
+
+    path = str(tmp_path / "w.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("my/custom/name", data=np.full(shape, 7.0, np.float32))
+
+    _, loaded, report = load_pretrained_backbone(
+        "mobilenetv2", path, input_size=(32, 32), strict=False,
+        name_map={vis_path: "my/custom/name"}, calibrate_dcn=False,
+        width_multiplier=0.35,
+    )
+    assert vis_path.split("/")[0] in ("params", "batch_stats")
+    got = loaded
+    for seg in vis_path.split("/"):
+        got = got[seg]
+    np.testing.assert_allclose(np.asarray(got), 7.0)
+
+
 def test_load_pretrained_backbone_ingests_h5(tmp_path):
     """End-to-end: get_backbone-equivalent one-call path builds the model,
     ingests a keras-named h5, and reports what loaded."""

@@ -84,6 +84,54 @@ def test_get_optimizer_adamw_with_multipliers():
     assert float(np.abs(np.asarray(updates["head"]["conv"]["kernel"])).max()) > 0
 
 
+def test_adam_weight_decay_is_applied():
+    # a requested weight_decay must never silently vanish for adam/amsgrad
+    params = _params()
+    for name in ("adam", "amsgrad"):
+        tx_wd, _ = get_optimizer(params, name, learning_rate=0.1,
+                                 weight_decay=0.5, decay_strategy="none")
+        tx_no, _ = get_optimizer(params, name, learning_rate=0.1,
+                                 weight_decay=0.0, decay_strategy="none")
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        u_wd, _ = tx_wd.update(zeros, tx_wd.init(params), params)
+        u_no, _ = tx_no.update(zeros, tx_no.init(params), params)
+        # with zero grads, only the decay term moves the kernel
+        assert float(np.abs(np.asarray(
+            u_wd["head"]["conv"]["kernel"])).max()) > 0, name
+        np.testing.assert_allclose(
+            np.asarray(u_no["head"]["conv"]["kernel"]), 0.0, atol=1e-7)
+
+
+def test_optimizer_list_with_lr_multipliers_steps():
+    # lr_multipliers inside a multi_transform used to crash: the masked
+    # update tree (MaskedNode leaves) mismatched the full multiplier tree
+    from iseg_tpu.core.optimizer import get_optimizer_list
+
+    params = _params()
+    tx = get_optimizer_list(
+        params,
+        group_patterns=["backbone", "head"],
+        names=["sgd", "adamw"],
+        learning_rates=[0.1, 0.01],
+        default_group=1,
+        lr_multipliers={"conv": 0.5},
+        decay_strategy="none",
+        train_steps=10,
+    )
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)  # must not raise
+    assert float(np.abs(np.asarray(updates["head"]["conv"]["kernel"])).max()) > 0
+
+
+def test_cosine_end_learning_rate_floor():
+    params = _params()
+    _, sched = get_optimizer(params, "sgd", learning_rate=1.0,
+                             train_steps=100, decay_strategy="cosine",
+                             end_learning_rate=0.05)
+    assert abs(float(sched(100)) - 0.05) < 1e-6
+
+
 def test_nan_grads_scrubbed():
     params = {"w": jnp.ones((2,))}
     tx, _ = get_optimizer(params, "sgd", learning_rate=0.1, decay_strategy="none")

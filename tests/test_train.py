@@ -279,6 +279,31 @@ def test_ema_params_track_and_eval(tmp_path):
         np.asarray(get_leaf(state.ema_params)), rtol=0, atol=0)
 
 
+def test_restore_ema_checkpoint_into_non_ema_state(tmp_path):
+    """Disabling EMA mid-run: a checkpoint WRITTEN with ema_params must
+    restore into a template without them (the extra item is dropped)."""
+    import optax
+
+    from iseg_tpu.core.checkpoint import ModelHelper
+
+    model = _tiny_model()
+    tx = optax.sgd(0.1)
+    state = create_train_state(model, jax.random.PRNGKey(0), (2, 32, 32, 3),
+                               tx, ema_decay=0.9)
+    helper = ModelHelper(str(tmp_path / "ckpt"))
+    helper.save(int(state.step), state)
+    helper.wait()
+    fresh = create_train_state(model, jax.random.PRNGKey(1), (2, 32, 32, 3),
+                               tx)  # no EMA
+    restored = helper.restore_latest(fresh)
+    assert restored is not None
+    get_leaf = lambda tree: jax.tree_util.tree_leaves(tree)[0]
+    np.testing.assert_allclose(
+        np.asarray(get_leaf(restored.params)),
+        np.asarray(get_leaf(state.params)), rtol=0, atol=0)
+    assert restored.ema_params is None
+
+
 def test_no_ema_by_default():
     import optax
 
