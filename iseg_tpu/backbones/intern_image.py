@@ -167,8 +167,12 @@ class InternImage(nn.Module):
 
 _VARIANTS = {
     # name: (channels, depths, groups, layer_scale, use_post_norm)
-    # reference constructors intern_image.py:137-183: tiny/small use
-    # layer_scale=1.0; small uses post-norm ordering; huge uses neither
+    # reference constructors intern_image.py:137-187 define tiny/small/
+    # huge only (tiny: ls=1.0 pre-norm; small: ls=1.0 post-norm; huge:
+    # no ls, pre-norm + res-post-norm extras we don't model). base/large
+    # are beyond-reference additions following the small recipe (the
+    # official InternImage-B/L geometry with post-norm), named to match
+    # the reference's static_strings.py:104 placeholder.
     "intern_image_tiny": (64, (4, 4, 18, 4), (4, 8, 16, 32), 1.0, False),
     "intern_image_small": (80, (4, 4, 21, 4), (5, 10, 20, 40), 1.0, True),
     "intern_image_base": (112, (4, 4, 21, 4), (7, 14, 28, 56), 1.0, True),

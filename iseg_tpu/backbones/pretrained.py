@@ -146,10 +146,14 @@ def load_pretrained_backbone(
             mapping = map_fn(wrapped) if map_fn else None
         elif callable(name_map):
             # a family-style builder returns a dict from the variables;
-            # anything else is h5_ingest's str->str resolver contract
+            # anything else is h5_ingest's str->str resolver contract.
+            # Only the signature-mismatch errors a str->str resolver
+            # would raise on a pytree are probed — a genuine bug inside a
+            # dict builder (e.g. KeyError) must propagate, not be
+            # silently reclassified
             try:
                 built = name_map(wrapped)
-            except Exception:
+            except (TypeError, AttributeError):
                 built = None
             if isinstance(built, dict):
                 mapping = built

@@ -58,6 +58,7 @@ def _ensure_builtins():
     ):
         try:
             __import__(f"iseg_tpu.backbones.{mod}")
+            _BUILTIN_IMPORT_ERRORS.pop(mod, None)  # recovered on retry
         except ImportError as e:
             _BUILTIN_IMPORT_ERRORS[mod] = repr(e)
 

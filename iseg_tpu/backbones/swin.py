@@ -126,8 +126,13 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        shift = self.shift if ws == self.window_size else 0
+        # the window size is FIXED like the reference's (maps smaller than
+        # the window get padded up to it, swin.py:230-262 get_pad_values;
+        # shift stays active): shrinking the window instead would make the
+        # relative-position-bias table shape input-dependent, so published
+        # checkpoints could not ingest at arbitrary build sizes
+        ws = self.window_size
+        shift = self.shift
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

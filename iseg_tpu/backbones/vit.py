@@ -75,6 +75,10 @@ class VisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         n, h, w, _ = x.shape
+        if h % self.patch_size or w % self.patch_size:
+            raise ValueError(
+                f"input {h}x{w} must be a multiple of patch_size "
+                f"{self.patch_size} (pad or bucket the input first)")
         gh, gw = h // self.patch_size, w // self.patch_size
         x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),

@@ -67,7 +67,9 @@ class FeatureAlignedPyramidNet(nn.Module):
 
     @nn.compact
     def __call__(self, endpoints, train: bool = False):
-        feats = list(endpoints[-self.num_levels :])
+        from iseg_tpu.nn.heads.common import select_pyramid_endpoints
+
+        feats = select_pyramid_endpoints(endpoints, self.num_levels)
         # coarsest level: plain projection
         x = ConvNormAct(filters=self.filters, kernel_size=1, norm=self.norm,
                         dtype=self.dtype, param_dtype=self.param_dtype,

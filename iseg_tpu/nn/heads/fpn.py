@@ -29,7 +29,9 @@ class FeaturePyramidNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, endpoints, train: bool = False):
-        feats = list(endpoints[-self.num_levels :])
+        from iseg_tpu.nn.heads.common import select_pyramid_endpoints
+
+        feats = select_pyramid_endpoints(endpoints, self.num_levels)
         common = dict(norm=self.norm, dtype=self.dtype, param_dtype=self.param_dtype)
 
         laterals = [

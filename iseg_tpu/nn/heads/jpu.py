@@ -26,7 +26,9 @@ class JointPyramidUpsampling(nn.Module):
 
     @nn.compact
     def __call__(self, endpoints, train: bool = False):
-        feats = list(endpoints[-3:])
+        from iseg_tpu.nn.heads.common import select_pyramid_endpoints
+
+        feats = select_pyramid_endpoints(endpoints, 3)
         common = dict(norm=self.norm, dtype=self.dtype, param_dtype=self.param_dtype)
 
         convs = [

@@ -66,7 +66,9 @@ class NASFPN(nn.Module):
     @nn.compact
     def __call__(self, endpoints, train: bool = False):
         common = dict(norm=self.norm, dtype=self.dtype, param_dtype=self.param_dtype)
-        feats = list(endpoints[-3:])  # os8, os16, os32 -> P3, P4, P5
+        from iseg_tpu.nn.heads.common import select_pyramid_endpoints
+
+        feats = select_pyramid_endpoints(endpoints, 3)  # os8, os16, os32 -> P3, P4, P5
 
         # project + extend to P6, P7 by stride-2 pooling
         pyramid = [

@@ -75,3 +75,43 @@ def test_jpu_head():
     out = head.apply(variables, eps)
     # output at the resolution of endpoints[-3], channels = 4 branches
     assert out.shape == (1, 16, 16, (32 // 4 * 2) * 4)
+
+
+def test_pyramid_heads_select_by_resolution_for_hrnet():
+    """HRNet's endpoints end with the os4 HRNetV2 concat (reference order,
+    hrnet.py:535-536); pyramid heads must select the coarsest DISTINCT
+    strides, not the positional tail (which would treat the os4 concat as
+    the coarsest level)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iseg_tpu.nn.heads.common import select_pyramid_endpoints
+
+    # fake HRNet endpoint list: os4, os8, os16, os32 branches + os4 concat
+    n = 1
+    eps = [jnp.zeros((n, 16, 16, 8)), jnp.zeros((n, 8, 8, 16)),
+           jnp.zeros((n, 4, 4, 32)), jnp.zeros((n, 2, 2, 64)),
+           jnp.zeros((n, 16, 16, 120))]
+    sel = select_pyramid_endpoints(eps, 3)
+    assert [tuple(s.shape[1:3]) for s in sel] == [(8, 8), (4, 4), (2, 2)]
+    # ties at one resolution keep the LAST (the richer concat)
+    sel4 = select_pyramid_endpoints(eps, 4)
+    assert sel4[0].shape[-1] == 120
+
+    # standard fine->coarse lists are unchanged vs the positional tail
+    std = [jnp.zeros((n, 16, 16, 8)), jnp.zeros((n, 8, 8, 16)),
+           jnp.zeros((n, 4, 4, 32)), jnp.zeros((n, 2, 2, 64))]
+    assert select_pyramid_endpoints(std, 3) == std[-3:]
+
+    # end-to-end: HRNet + JPU compiles and the fused map is os8-sized
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.nn.heads import JPU
+
+    bb = get_backbone("hrnet_w32")
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = bb.init(jax.random.PRNGKey(0), x)
+    eps = bb.apply(vs, x, train=False)
+    head = JPU(filters=32)
+    hv = head.init(jax.random.PRNGKey(1), eps)
+    out = head.apply(hv, eps, train=False)
+    assert out.shape[1:3] == (8, 8)  # os8, not the os4 concat's resolution
