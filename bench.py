@@ -89,10 +89,14 @@ def bench_sliding(config: str = "resnet"):
         _ = float(jnp.sum(_eval_jit(variables, x)))
         times.append(time.perf_counter() - t0)
     times.sort()
+    on_tpu = jax.devices()[0].platform == "tpu"
     p50 = times[len(times) // 2]
+    # the smoke config (tiny shapes on CPU) must not masquerade as the
+    # real 1024x2048 measurement in collected JSON
+    geom = "1024x2048" if on_tpu else f"cpu_smoke_{hw[0]}x{hw[1]}"
     row = {
         "metric": f"{'hrnet_w48_jpu' if config == 'hrnet' else 'resnet50_aspp'}"
-                  "_sliding_window_1024x2048_eval",
+                  f"_sliding_window_{geom}_eval",
         "value": round(p50, 4),
         "unit": "p50_seconds",
         "reps": len(times),
@@ -101,9 +105,10 @@ def bench_sliding(config: str = "resnet"):
     }
     if window_batch != 1:
         row["window_batch"] = window_batch
-    if config != "hrnet":
+    if config != "hrnet" and on_tpu:
         # the provisional TF sliding estimate is for the ResNet-50+ASPP
-        # config only; a cross-model ratio would be meaningless
+        # config only (and only at the real geometry); a cross-model or
+        # cross-host ratio would be meaningless
         row["vs_baseline"] = round(TF_BASELINE_SLIDING_P50_S / p50, 3)
     print(json.dumps(row))
 
@@ -144,6 +149,12 @@ def _init_devices_or_die(timeout_s: float = 600.0):
 
 def main():
     mode = os.environ.get("BENCH_MODE", "train")
+    # CPU smoke: BENCH_PLATFORM=cpu forces the CPU backend BEFORE any
+    # device probe (this image pre-imports jax pinned to the remote TPU,
+    # so the JAX_PLATFORMS env var alone cannot override it, and probing
+    # the default platform blocks when the hardware link is stuck)
+    if os.environ.get("BENCH_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     _init_devices_or_die()
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -187,7 +198,8 @@ def main():
     tx, _ = get_optimizer(
         variables["params"], "sgd", learning_rate=0.01, train_steps=1000
     )
-    state = create_train_state(model, rng, (batch, hw, hw, 3), tx, input_dtype=dtype)
+    state = create_train_state(model, rng, (batch, hw, hw, 3), tx,
+                               input_dtype=dtype, variables=variables)
     step_fn = make_train_step(model.build_loss_fn())
 
     x = np.random.RandomState(0).rand(batch, hw, hw, 3).astype(np.float32)
@@ -213,24 +225,26 @@ def main():
         final_loss = float(parts["loss"])
         dt = time.perf_counter() - t0
         assert final_loss == final_loss, "loss is NaN"
-        rates.append(batch * steps / dt / jax.device_count())
+        # per-chip by construction: the step is a plain jit, which commits
+        # to ONE device regardless of host topology (dividing by
+        # device_count() here would under-report on multi-device hosts)
+        rates.append(batch * steps / dt)
 
     rates.sort()
     img_per_sec_per_chip = rates[len(rates) // 2]
-    print(
-        json.dumps(
-            {
-                "metric": "resnet50_aspp_512_train_throughput",
-                "value": round(img_per_sec_per_chip, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(
-                    measured_speedup_estimate(img_per_sec_per_chip), 3),
-                "reps": reps,
-                "min": round(rates[0], 2),
-                "max": round(rates[-1], 2),
-            }
-        )
-    )
+    row = {
+        "metric": ("resnet50_aspp_512_train_throughput" if on_tpu
+                   else f"resnet50_aspp_cpu_smoke_{hw}_train_throughput"),
+        "value": round(img_per_sec_per_chip, 2),
+        "unit": "images/sec/chip",
+        "reps": reps,
+        "min": round(rates[0], 2),
+        "max": round(rates[-1], 2),
+    }
+    if on_tpu:  # the measured TF ratio is a TPU-geometry comparison
+        row["vs_baseline"] = round(
+            measured_speedup_estimate(img_per_sec_per_chip), 3)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -72,7 +72,12 @@ def main():
     ids = np.asarray(out[0]).tolist()
     print("generated ids:", ids)
     if tokenizer:
-        print("text:", tokenizer.detokenize(ids))
+        # strip bos/eos/pad before detokenizing (raw rows are padded to
+        # max_length; feeding special ids to the decoder pollutes the text)
+        from iseg_tpu.nlp.gemma.tokenizer import GemmaCausalLMPreprocessor
+
+        pre = GemmaCausalLMPreprocessor(tokenizer)
+        print("text:", pre.generate_postprocess(out[:1])[0])
 
 
 if __name__ == "__main__":

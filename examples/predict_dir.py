@@ -56,10 +56,12 @@ def main():
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    (1, 512, 512, 3), tx)
         restored = ModelHelper(args.ckpt_dir).restore_latest(state)
-        if restored is not None:
-            variables = {"params": restored.params,
-                         "batch_stats": restored.batch_stats}
-            print(f"restored checkpoint at step {int(restored.step)}")
+        if restored is None:
+            # silently predicting from random init writes garbage PNGs
+            raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+        variables = {"params": restored.params,
+                     "batch_stats": restored.batch_stats}
+        print(f"restored checkpoint at step {int(restored.step)}")
 
     written = predict_with_dir(
         model, variables, args.input_dir, args.output_dir,

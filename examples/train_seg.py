@@ -85,7 +85,6 @@ def main():
     from iseg_tpu.core.optimizer import get_optimizer
     from iseg_tpu.core.train import CoreTrain
     from iseg_tpu.data import StandardAugmentationsPipeline
-    from iseg_tpu.losses import get_ohem_fn  # noqa: F401 (flag wiring below)
     from iseg_tpu.nn import heads
 
     env = common_env_setup(EnvConfig(random_seed=0))
@@ -166,9 +165,14 @@ def main():
         checkpoint_manager=ModelHelper(args.ckpt_dir, max_to_keep=2),
         log_every=10,
     )
-    trainer.restore()
+    resumed = trainer.restore()
     trainer.train(dataset_fn, epochs=args.epochs,
-                  steps_per_epoch=args.steps_per_epoch)
+                  steps_per_epoch=args.steps_per_epoch,
+                  # exact-step resume: derive the epoch (and the already-
+                  # consumed prefix of it) from the restored step count —
+                  # initial_epoch=0 after a restore would replay epoch-0
+                  # data against an already-spent LR schedule
+                  initial_epoch=-1 if resumed else 0)
 
     miou, per_class = evaluate(
         env, model,

@@ -91,14 +91,20 @@ def create_train_state(
     tx: optax.GradientTransformation,
     input_dtype=jnp.float32,
     ema_decay: Optional[float] = None,
+    variables=None,
 ) -> TrainState:
     """Init variables with a dummy forward pass (the reference builds
     backbones the same way, ``backbones/feature_extractor.py:153-164``).
 
     ``ema_decay`` (e.g. 0.999) enables a params EMA updated every
-    optimizer step, initialized to the initial params."""
-    dummy = jnp.zeros(input_shape, input_dtype)
-    variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
+    optimizer step, initialized to the initial params. Pass ``variables``
+    when the model is already initialized (e.g. pretrained ingest, or the
+    driver needed params for the optimizer) — re-running init would add a
+    second multi-second trace+compile to startup."""
+    if variables is None:
+        dummy = jnp.zeros(input_shape, input_dtype)
+        variables = model.init({"params": rng, "dropout": rng}, dummy,
+                               train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", flax.core.freeze({}))
     return TrainState(

@@ -77,6 +77,15 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = DATA_AXIS) -> Any:
     multihost = jax.process_count() > 1
 
     def _put(x):
+        if isinstance(x, jax.Array) and not multihost:
+            # already on device (e.g. DeviceResidentDataset batches):
+            # reshard device-to-device — np.asarray here would bounce the
+            # whole batch through the host every step
+            if x.shape[0] % n_shards != 0:
+                raise ValueError(
+                    f"global batch {x.shape[0]} is not divisible by the "
+                    f"{axis}-axis size {n_shards}")
+            return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
         x = np.asarray(x)
         sharding = batch_sharding(mesh, x.ndim, axis)
         if multihost:
