@@ -48,9 +48,19 @@ def warmup_poly_decay(
     power: float = 0.9,
     warmup_steps: int = 0,
     warmup_learning_rate: float = 0.0,
+    ref_exact: bool = False,
 ) -> optax.Schedule:
     """Poly decay with linear warmup
-    (reference ``optimizers/polydecay.py:44-76`` ``WarmUpPolyDecay``)."""
+    (reference ``optimizers/polydecay.py:44-76`` ``WarmUpPolyDecay``).
+
+    Default semantics anneal to ``end_learning_rate`` exactly at
+    ``decay_steps`` (standard DeepLab poly). The reference has a quirk
+    (``polydecay.py:53-55``): it clamps the step to
+    ``decay_steps - warmup_steps`` BEFORE subtracting the warmup, so with
+    warmup its decay progress tops out at ``1 - warmup/max_steps`` and
+    the LR never reaches the end value. ``ref_exact=True`` reproduces
+    that behavior bit-for-bit (oracle-tested) for runs that must match
+    reference training dynamics."""
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -58,7 +68,11 @@ def warmup_poly_decay(
             step / jnp.maximum(1.0, warmup_steps)
         )
         decay_total = jnp.maximum(1.0, decay_steps - warmup_steps)
-        p = jnp.clip((step - warmup_steps) / decay_total, 0.0, 1.0)
+        if ref_exact:
+            cur = jnp.minimum(step, decay_total)
+            p = jnp.clip((cur - warmup_steps) / decay_total, 0.0, 1.0)
+        else:
+            p = jnp.clip((step - warmup_steps) / decay_total, 0.0, 1.0)
         decayed = (base_learning_rate - end_learning_rate) * (1.0 - p) ** power
         decayed = decayed + end_learning_rate
         if warmup_steps <= 0:

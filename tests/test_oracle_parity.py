@@ -71,3 +71,83 @@ def test_hue_matches_tf_adjust_hue(shims):
             FixedRng(delta), img.copy(), None)
         np.testing.assert_allclose(got, np.clip(want, 0, 255), atol=2e-3,
                                    err_msg=f"delta={delta}")
+
+
+def test_sliding_start_indices_match_reference(shims):
+    """Window-start math vs the reference's own python implementation
+    (utils/sliding_window_inference_utils.py). For images smaller than
+    the crop the reference emits a NEGATIVE start (its caller pads
+    first); we clamp the window to the image instead — pinned here."""
+    from iseg.utils.sliding_window_inference_utils import (
+        _get_sliding_start_indexs_py,
+    )
+
+    from iseg_tpu.core.inference import sliding_start_indices
+
+    for length, crop in ((1024, 512), (2048, 512), (700, 512), (512, 512),
+                         (1537, 512), (513, 512)):
+        ref = list(_get_sliding_start_indexs_py(length, crop, 2.0 / 3.0))
+        ours = sliding_start_indices(length, crop, int(crop * 2.0 / 3.0))
+        assert ref == list(ours), (length, crop, ref, ours)
+    # the documented divergence: sub-crop images clamp, not go negative
+    assert list(_get_sliding_start_indexs_py(300, 512, 2 / 3))[0] < 0
+    assert sliding_start_indices(300, min(512, 300), 200) == [0]
+
+
+def test_ce_ignore_label_loss_matches_reference(shims):
+    """cross_entropy_ignore_label vs the reference loss on identical data,
+    both reductions, both ignore conventions (incl. the ignore-0 shift)."""
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from iseg.losses.catecrossentropy_ignore_label import (
+        catecrossentropy_ignore_label_loss,
+    )
+
+    from iseg_tpu.losses.cross_entropy import cross_entropy_ignore_label
+
+    rng = np.random.RandomState(0)
+    for ignore in (255, 0):
+        nc = 5
+        lo = 1 if ignore == 0 else 0
+        labels = rng.randint(lo, nc + lo, (2, 8, 8)).astype(np.int32)
+        labels[0, :2] = ignore
+        logits = rng.randn(2, 8, 8, nc).astype(np.float32)
+
+        ref_gb = catecrossentropy_ignore_label_loss(
+            num_class=nc, ignore_label=ignore, batch_size=2, reduction=True)
+        want = float(ref_gb(tf.constant(labels[..., None]),
+                            tf.constant(logits)))
+        got = float(cross_entropy_ignore_label(
+            jnp.asarray(logits), jnp.asarray(labels), ignore_label=ignore,
+            reduction="global_batch", global_batch_size=2))
+        assert abs(want - got) < 1e-4 * max(1.0, abs(want)), (ignore, want, got)
+
+        ref_none = catecrossentropy_ignore_label_loss(
+            num_class=nc, ignore_label=ignore, batch_size=2, reduction=False)
+        want_mean = float(np.asarray(ref_none(
+            tf.constant(labels[..., None]), tf.constant(logits))).mean())
+        got_mean = float(cross_entropy_ignore_label(
+            jnp.asarray(logits), jnp.asarray(labels), ignore_label=ignore,
+            reduction="all_mean"))
+        assert abs(want_mean - got_mean) < 1e-5, (ignore, want_mean, got_mean)
+
+
+def test_poly_decay_ref_exact_matches_reference(shims):
+    from iseg.optimizers.polydecay import WarmUpPolyDecay
+
+    from iseg_tpu.core.optimizer import warmup_poly_decay
+
+    ref = WarmUpPolyDecay(0.01, 1000, end_learning_rate=1e-4,
+                          warmup_steps=100, warmup_learning_rate=1e-5,
+                          power=0.9)
+    ours = warmup_poly_decay(0.01, 1000, end_learning_rate=1e-4, power=0.9,
+                             warmup_steps=100, warmup_learning_rate=1e-5,
+                             ref_exact=True)
+    for step in (0, 1, 50, 99, 100, 101, 500, 899, 900, 999, 1000, 1100):
+        assert abs(float(ref(step)) - float(ours(step))) < 1e-7, step
+    # and the documented default DIVERGENCE: standard semantics anneal to
+    # the end LR at decay_steps, the reference quirk does not
+    std = warmup_poly_decay(0.01, 1000, end_learning_rate=1e-4, power=0.9,
+                            warmup_steps=100, warmup_learning_rate=1e-5)
+    assert abs(float(std(1000)) - 1e-4) < 1e-7
+    assert float(ref(1000)) > 1e-3
