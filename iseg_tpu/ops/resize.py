@@ -105,18 +105,26 @@ def resize_to_range(
     min_size: int | None = None,
     max_size: int | None = None,
 ) -> tuple[int, int]:
-    """Compute a target size whose short side >= min_size and long side <=
-    max_size, preserving aspect ratio (reference ``data_process/utils.py:374``).
+    """Compute a target size following the reference's ``resize_to_range``
+    (``data_process/utils.py:374``): when ``min_size`` is given, rescale so
+    the SHORT side equals it exactly — down as well as up (DeepLab eval
+    resizes every image to short-side = min_size) — unless the long side
+    would exceed ``max_size``, in which case the long side equals
+    ``max_size``. Sizes round with ceil like the reference.
 
     Pure Python math (sizes are static under jit)."""
-    scale = 1.0
-    if min_size is not None:
-        scale = max(scale, min_size / min(height, width))
-    if max_size is not None:
-        long_side = max(height, width) * scale
-        if long_side > max_size:
-            scale *= max_size / long_side
-    return scaled_size(height, width, scale)
+    import math
+
+    if min_size is None:
+        scale = 1.0
+        if max_size is not None and max(height, width) > max_size:
+            scale = max_size / max(height, width)
+        return (max(1, int(height * scale + 0.5)),
+                max(1, int(width * scale + 0.5)))
+    scale = min_size / min(height, width)
+    if max_size is not None and max(height, width) * scale > max_size:
+        scale = max_size / max(height, width)
+    return (max(1, math.ceil(height * scale)), max(1, math.ceil(width * scale)))
 
 
 def resample_abs_pos_embed(

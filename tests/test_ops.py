@@ -46,11 +46,16 @@ def test_scaled_size_rounding():
 
 
 def test_resize_to_range():
-    assert resize_to_range(100, 200, min_size=50, max_size=None) == (100, 200)
+    # reference semantics: min_size rescales the SHORT side to it exactly
+    # (down as well as up, data_process/utils.py:385-388)
+    assert resize_to_range(100, 200, min_size=50, max_size=None) == (50, 100)
     h, w = resize_to_range(100, 200, min_size=200, max_size=None)
-    assert min(h, w) >= 200
+    assert min(h, w) == 200
     h, w = resize_to_range(100, 400, min_size=None, max_size=200)
     assert max(h, w) <= 200
+    # max_size caps the long side when the min_size scale would exceed it
+    h, w = resize_to_range(600, 800, min_size=512, max_size=640)
+    assert max(h, w) == 640
 
 
 def test_safed_softmax_masked_rows_are_zero():

@@ -151,3 +151,33 @@ def test_poly_decay_ref_exact_matches_reference(shims):
                             warmup_steps=100, warmup_learning_rate=1e-5)
     assert abs(float(std(1000)) - 1e-4) < 1e-7
     assert float(ref(1000)) > 1e-3
+
+
+def test_resize_to_range_matches_reference_shapes(shims):
+    """Our size math must equal the shapes the reference's tensor op
+    actually produces (data_process/utils.py:374), including downscaling
+    to the min side and the max_size cap."""
+    import tensorflow as tf
+    from iseg.data_process.utils import resize_to_range as ref_rtr
+
+    from iseg_tpu.ops.resize import resize_to_range as our_rtr
+
+    for (h, w), kw in [((600, 800), dict(min_size=512)),
+                       ((300, 200), dict(min_size=512)),
+                       ((600, 800), dict(min_size=512, max_size=640)),
+                       ((2048, 1024), dict(min_size=512, max_size=1333)),
+                       ((512, 512), dict(min_size=512, max_size=512))]:
+        out = ref_rtr(tf.zeros((h, w, 3)), **kw)
+        ref_shape = tuple(np.asarray(out[0]).shape[:2])
+        assert ref_shape == our_rtr(h, w, **kw), ((h, w), kw, ref_shape)
+
+
+def test_cosine_decay_matches_reference(shims):
+    from iseg.optimizers.cosinedecay import CosineDecay as RefCosine
+
+    from iseg_tpu.core.optimizer import warmup_cosine_decay
+
+    ref = RefCosine(0.01, 1000)
+    ours = warmup_cosine_decay(0.01, 1000)
+    for s in (0, 1, 100, 500, 999, 1000):
+        assert abs(float(ref(s)) - float(ours(s))) < 1e-9, s
