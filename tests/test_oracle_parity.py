@@ -181,3 +181,44 @@ def test_cosine_decay_matches_reference(shims):
     ours = warmup_cosine_decay(0.01, 1000)
     for s in (0, 1, 100, 500, 999, 1000):
         assert abs(float(ref(s)) - float(ours(s))) < 1e-9, s
+
+
+def test_dcnv2_matches_reference_with_synced_weights(shims):
+    """Weight-synced forward parity with the reference's DCNv2
+    (layers/dcn_v2.py, the keras_DCNv2-derived sampler): same kernel /
+    bias / offset weights must give the same output, including samples
+    pushed past the border (the reference clamps into its zero-pad ring,
+    we zero outside — equivalent)."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from iseg.layers.dcn_v2 import DCNv2 as RefDCNv2
+
+    from iseg_tpu.nn.dcn import DCNv2 as OurDCNv2
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 8, 8, 4).astype(np.float32)
+
+    for off_scale in (0.3, 3.0):  # in-range and far out-of-bounds samples
+        ref = RefDCNv2(filters=6, kernel_size=(3, 3), use_bias=True)
+        _ = ref(tf.constant(x))
+        kernel = rng.randn(3, 3, 4, 6).astype(np.float32) * 0.2
+        bias = rng.randn(6).astype(np.float32) * 0.1
+        off_k = rng.randn(3, 3, 4, 27).astype(np.float32) * 0.2
+        off_b = rng.randn(27).astype(np.float32) * off_scale
+        ref.kernel.assign(kernel)
+        ref.bias.assign(bias)
+        ref.offset_kernel.assign(off_k)
+        ref.offset_bias.assign(off_b)
+        want = np.asarray(ref(tf.constant(x)))
+
+        ours = OurDCNv2(filters=6, kernel_size=3, use_bias=True)
+        v = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = dict(v["params"])
+        params["offset_conv"] = {"kernel": jnp.asarray(off_k),
+                                 "bias": jnp.asarray(off_b)}
+        params["kernel"] = jnp.asarray(kernel.reshape(9 * 4, 6))
+        params["bias"] = jnp.asarray(bias)
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"off_scale={off_scale}")
