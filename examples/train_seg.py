@@ -164,6 +164,7 @@ def main():
         env, model, tx, input_shape=(1, args.crop, args.crop, 3),
         checkpoint_manager=ModelHelper(args.ckpt_dir, max_to_keep=2),
         log_every=10,
+        variables=variables,  # skip a second full init inside CoreTrain
     )
     resumed = trainer.restore()
     trainer.train(dataset_fn, epochs=args.epochs,

@@ -8,7 +8,6 @@ fast path).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Iterable, Optional, Sequence
 
 import jax
@@ -41,9 +40,6 @@ def make_eval_step(
             out = out[0]
         return out
 
-    def single(x):
-        return single_with(variables, x)
-
     if cfg.use_cpu_cache:
         # host-offload variant (reference ``core_model.py:274-320``
         # ``use_cpu_cache``): one jitted program per (scale, flip), logit
@@ -53,8 +49,10 @@ def make_eval_step(
         import numpy as np
 
         jitted = {}
+        seen_shapes = set()
 
         def eval_step(images):
+            seen_shapes.add(tuple(images.shape))
             acc = None
             count = 0
             for scale in cfg.scale_rates:
@@ -74,6 +72,8 @@ def make_eval_step(
                     count += 1
             return acc / count
 
+        # one compiled program per (scale, flip, shape) on this path
+        eval_step.seen_shapes = seen_shapes
         return eval_step
 
     # variables enter as a jit ARGUMENT (a closure would bake the weights

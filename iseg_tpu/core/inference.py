@@ -46,6 +46,11 @@ def sliding_window_plan(
     stride_rate: float = 2.0 / 3.0,
 ) -> tuple[np.ndarray, np.ndarray, tuple[int, int]]:
     """(starts [K,2], count_map [H,W,1], window_hw) — all static."""
+    if stride_rate > 1.0:
+        # windows would leave gaps with count 0 -> 0/0 NaN logits
+        raise ValueError(
+            f"sliding_window stride_rate {stride_rate} > 1.0 leaves "
+            "uncovered pixels between windows")
     h, w = image_hw
     wh, ww = min(crop_size[0], h), min(crop_size[1], w)
     hs = sliding_start_indices(h, wh, int(wh * stride_rate))

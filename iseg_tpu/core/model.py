@@ -121,6 +121,10 @@ class SegFoundation(SegBase):
             and not self.use_ohem
             and not self.use_focal_loss
             and self.class_weights is None
+            # the fused kernel computes a valid-pixel mean only — it must
+            # not silently override a configured all_mean/global_batch
+            # gradient scale
+            and self.loss_reduction == "valid_mean"
         )
 
         def loss_fn(outputs, labels):
@@ -137,6 +141,18 @@ class SegFoundation(SegBase):
                         logits, labels, ignore_label=self.ignore_label
                     )
                 else:
+                    if (self.fuse_upsample_loss
+                            and logits.shape[1] < labels.shape[1]):
+                        # fusion requested but gated out (OHEM/focal/class
+                        # weights/non-default reduction): the model emits
+                        # LOW-RES logits, so reproduce the upsample here —
+                        # otherwise the loss would silently run at logits
+                        # resolution
+                        from iseg_tpu.ops.resize import resize_image
+
+                        logits = resize_image(
+                            logits.astype(jnp.float32),
+                            (labels.shape[1], labels.shape[2]), "bilinear")
                     loss = cross_entropy_ignore_label(
                         logits,
                         labels,

@@ -25,10 +25,6 @@ from iseg_tpu.data.input_norm import InputNormTypes, get_mean_pixel, normalize_i
 from iseg_tpu.data.loader import list_images, load_image
 
 
-def _round_up(v: int, m: int) -> int:
-    return (v + m - 1) // m * m
-
-
 def default_image_predict(
     apply_fn: Callable,
     variables,
@@ -92,12 +88,13 @@ def predict_with_dir(
     if not paths:
         return []
 
+    # sizes come from the image HEADERS — decoding (and holding) every
+    # image up front would need len(paths) * H * W * 12 bytes of host RAM
+    # before the first batch runs; pixels are loaded per chunk below
     sizes = []
-    raw_images = []
     for p in paths:
-        img = load_image(p)
-        raw_images.append(img)
-        sizes.append(img.shape[:2])
+        with PILImage.open(p) as im:
+            sizes.append((im.height, im.width))
     mean_pixel = get_mean_pixel(norm)
 
     if per_image_buckets:
@@ -105,9 +102,9 @@ def predict_with_dir(
         for i, (h, w) in enumerate(sizes):
             groups.setdefault(bucket_hw(h, w, pad_multiple), []).append(i)
     else:
-        bucket_h = _round_up(max(s[0] for s in sizes), pad_multiple)
-        bucket_w = _round_up(max(s[1] for s in sizes), pad_multiple)
-        groups = {(bucket_h, bucket_w): list(range(len(paths)))}
+        groups = {bucket_hw(max(s[0] for s in sizes),
+                            max(s[1] for s in sizes), pad_multiple):
+                  list(range(len(paths)))}
 
     # weights as a jit argument, not a baked-in closure constant
     _predict_jit = jax.jit(
@@ -120,7 +117,7 @@ def predict_with_dir(
     for (bucket_h, bucket_w), indices in groups.items():
         for start in range(0, len(indices), batch_size):
             idx_chunk = indices[start : start + batch_size]
-            chunk = [raw_images[i] for i in idx_chunk]
+            chunk = [load_image(paths[i]) for i in idx_chunk]
             batch = np.empty((len(chunk), bucket_h, bucket_w, 3), np.float32)
             batch[:] = mean_pixel
             for i, img in enumerate(chunk):

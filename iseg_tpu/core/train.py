@@ -179,13 +179,20 @@ class CoreTrain:
         lr_schedule: Optional[Callable] = None,
         ema_decay: Optional[float] = None,
         handle_preemption: bool = True,
+        grad_accum_every: int = 1,
+        variables=None,
     ):
         self.env = env
         self.model = model
         self.loss_fn = loss_fn or model.build_loss_fn()
         self.rng = jax.random.PRNGKey(seed)
         self.state = create_train_state(model, self.rng, input_shape, tx,
-                                        ema_decay=ema_decay)
+                                        ema_decay=ema_decay,
+                                        variables=variables)
+        # with with_grad_accum(tx, every=k), schedules inside tx advance
+        # once per k micro-steps; used here so the LOGGED learning rate
+        # indexes the schedule by real updates, not micro-steps
+        self.grad_accum_every = max(1, int(grad_accum_every))
         self.train_step = make_train_step(self.loss_fn)
         self.checkpoint_manager = checkpoint_manager
         self.log_every = log_every
@@ -361,7 +368,11 @@ class CoreTrain:
                 if self.device_augment is not None:
                     # host-side counter: reading state.step would force a
                     # device sync every step
-                    aug_rng = jax.random.fold_in(self.rng, self._host_step)
+                    # stream-tagged so the augmentation keys never collide
+                    # with the train step's fold_in(rng, state.step) dropout
+                    # keys (same base, same counter = identical keys)
+                    aug_rng = jax.random.fold_in(
+                        jax.random.fold_in(self.rng, 0x0AB6), self._host_step)
                     image, label = self.device_augment(
                         aug_rng, batch["image"], batch["label"]
                     )
@@ -404,7 +415,8 @@ class CoreTrain:
                         }
                         if self.lr_schedule is not None:
                             scalars["train/learning_rate"] = float(
-                                self.lr_schedule(self._host_step))
+                                self.lr_schedule(
+                                    self._host_step // self.grad_accum_every))
                         summ = timer.summary()
                         if "mean_s" in summ:
                             scalars["train/step_seconds"] = summ["mean_s"]
@@ -447,4 +459,5 @@ class CoreTrain:
             self.checkpoint_manager.wait()
         if self.scalar_logger is not None:
             self.scalar_logger.close()
+            self.scalar_logger = None  # a closed writer must not be reused
         return history

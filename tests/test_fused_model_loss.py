@@ -58,3 +58,31 @@ def test_fused_loss_gradients_match():
     for a, b in zip(fa, pa):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_fused_gate_defers_to_configured_reduction():
+    """fuse_upsample_loss must NOT override a non-default loss reduction:
+    the fused kernel only computes a valid-pixel mean, so global_batch
+    configs take the unfused path (same gradient scale as configured)."""
+    kwargs = dict(
+        num_class=4,
+        backbone=get_backbone("mobilenetv2", output_stride=16,
+                              width_multiplier=0.35),
+        head=SimpleDecoder(filters=16, low_level_filters=8),
+    )
+    gb = SegManaged(upsample_logits=False, fuse_upsample_loss=True,
+                    loss_reduction="global_batch",
+                    loss_global_batch_size=2, **kwargs)
+    ref = SegManaged(loss_reduction="global_batch",
+                     loss_global_batch_size=2, **kwargs)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).randint(0, 4, (2, 32, 32)))
+    y = y.at[0, :8].set(255)  # ignore coverage changes the scale if wrong
+
+    vs = gb.init(jax.random.PRNGKey(0), x)
+    out_gb = gb.apply(vs, x, train=False)
+    out_ref = ref.apply(vs, x, train=False)
+    loss_gb, _ = gb.build_loss_fn()(out_gb, y)
+    # upsample the low-res logits like the plain model does internally
+    loss_ref, _ = ref.build_loss_fn()(out_ref, y)
+    np.testing.assert_allclose(float(loss_gb), float(loss_ref), rtol=1e-5)

@@ -215,3 +215,13 @@ def test_multi_scale_inference_with_model(mbv2_model):
         single, jnp.zeros((1, 64, 64, 3)), scale_rates=(0.5, 1.0), flip=True
     )
     assert logits.shape == (1, 64, 64, 5)
+
+
+def test_sliding_window_rejects_gapping_stride():
+    # stride_rate > 1 leaves pixels no window covers -> 0/0 NaN logits;
+    # must refuse loudly instead
+    import pytest
+
+    x = jnp.ones((1, 16, 16, 3))
+    with pytest.raises(ValueError, match="stride_rate"):
+        inference_with_sliding_window(lambda w: w, x, (8, 8), stride_rate=1.5)

@@ -385,3 +385,25 @@ def test_enable_ema_on_resume_from_pre_ema_checkpoint(tmp_path):
     np.testing.assert_array_equal(get_leaf(restored.ema_params),
                                   get_leaf(state.params))
     assert restored.ema_decay == 0.9
+
+
+def test_second_train_call_reuses_logger_cleanly(tmp_path):
+    """Staged training: a second train() on the same CoreTrain must not
+    write to the closed scalar logger from the first call."""
+    import optax
+
+    from iseg_tpu.core.train import CoreTrain
+
+    model = _tiny_model()
+    env = common_env_setup(EnvConfig(mixed_precision=False))
+    trainer = CoreTrain(env, model, optax.sgd(0.05),
+                        input_shape=(8, 32, 32, 3),
+                        log_every=1, log_dir=str(tmp_path / "logs"))
+
+    def dataset_fn(epoch):
+        b = _batch(n=8)  # divisible by the 8-device mesh
+        return [dict(b)] * 2
+
+    trainer.train(dataset_fn, epochs=1, steps_per_epoch=2)
+    # second stage: must not raise 'I/O operation on closed file'
+    trainer.train(dataset_fn, epochs=1, steps_per_epoch=2)
