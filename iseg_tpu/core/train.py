@@ -120,12 +120,10 @@ def create_train_state(
     )
 
 
-def make_train_step(loss_fn: Callable, donate: bool = True) -> Callable:
-    """Build the jitted train step.
-
-    ``loss_fn(outputs, labels) -> (total, parts_dict)`` — typically
-    ``model.build_loss_fn()`` (reference ``core_model.py:471``).
-    """
+def _train_step_body(loss_fn: Callable) -> Callable:
+    """The un-jitted train-step function, shared by :func:`make_train_step`
+    (one program per batch) and :func:`make_resident_train_step` (gather +
+    augment fused into the same program)."""
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -147,7 +145,74 @@ def make_train_step(loss_fn: Callable, donate: bool = True) -> Callable:
         new_state = state.apply_gradients(grads, new_batch_stats=new_batch_stats)
         return new_state, parts
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(loss_fn: Callable, donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    ``loss_fn(outputs, labels) -> (total, parts_dict)`` — typically
+    ``model.build_loss_fn()`` (reference ``core_model.py:471``).
+    """
+    return jax.jit(_train_step_body(loss_fn),
+                   donate_argnums=(0,) if donate else ())
+
+
+# device_augment RNG stream tag — must match CoreTrain's host-side
+# derivation (fold_in(fold_in(rng, _AUGMENT_STREAM), step)) so the fused
+# resident step draws the exact same augmentation keys as the
+# separate-dispatch path (results then agree up to XLA fusion rounding)
+_AUGMENT_STREAM = 0x0AB6
+
+
+def make_resident_train_step(
+    loss_fn: Callable,
+    images: jax.Array,
+    labels: jax.Array,
+    augment_fn: Optional[Callable] = None,
+    donate: bool = True,
+) -> Callable:
+    """ONE compiled program per training step for device-resident data
+    (``iseg_tpu.data.resident.DeviceResidentDataset``): on-device gather
+    from the resident ``images``/``labels`` + fused augmentation + the
+    full fwd/bwd/update, dispatched as a single executable.
+
+    The host ships only a ``[batch]`` int32 index vector per step. The
+    separate-dispatch path (gather program, augment program, train
+    program, plus the eager ``fold_in`` key derivations) pays one runtime
+    RPC per dispatch — measured ~3 ms/step of the disk-fed gap on a
+    tunnel-attached host (BENCH_NOTES round 3); a pod host pays dispatch
+    jitter instead. Fusing removes all but one dispatch and lets XLA fuse
+    the augment chain into the step's input processing.
+
+    ``augment_fn(key, images_u8, labels_i32) -> (image, label)`` — e.g.
+    ``make_device_augment(cfg)`` composed with input normalization; the
+    key reproduces CoreTrain's stream-tagged derivation at ``state.step``.
+    Returns ``step(state, idx, rng) -> (new_state, parts)``.
+    """
+    body = _train_step_body(loss_fn)
+
+    def fused(state: TrainState, res_images, res_labels, idx, rng):
+        image = jnp.take(res_images, idx, axis=0)
+        label = jnp.take(res_labels, idx, axis=0).astype(jnp.int32)
+        if augment_fn is not None:
+            aug_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, _AUGMENT_STREAM), state.step)
+            image, label = augment_fn(aug_rng, image, label)
+        else:
+            # no augment chain: hand the model raw 0-255 floats (the
+            # uint8 storage dtype is a shard-format detail, not an input
+            # contract; normalization belongs to augment_fn)
+            image = image.astype(jnp.float32)
+        return body(state, {"image": image, "label": label}, rng)
+
+    jitted = jax.jit(fused, donate_argnums=(0,) if donate else ())
+
+    def step(state: TrainState, idx, rng: jax.Array):
+        return jitted(state, images, labels,
+                      jnp.asarray(idx, jnp.int32), rng)
+
+    return step
 
 
 class CoreTrain:
@@ -181,6 +246,7 @@ class CoreTrain:
         handle_preemption: bool = True,
         grad_accum_every: int = 1,
         variables=None,
+        resident_dataset=None,
     ):
         self.env = env
         self.model = model
@@ -193,7 +259,18 @@ class CoreTrain:
         # once per k micro-steps; used here so the LOGGED learning rate
         # indexes the schedule by real updates, not micro-steps
         self.grad_accum_every = max(1, int(grad_accum_every))
-        self.train_step = make_train_step(self.loss_fn)
+        # device-resident mode (data.resident.DeviceResidentDataset):
+        # dataset_fn yields {"index": [B] int} batches and the gather +
+        # device_augment + step run as ONE compiled program — see
+        # make_resident_train_step. device_augment (if any) moves inside
+        # the program; the loop's separate-dispatch branch is skipped.
+        self.resident_dataset = resident_dataset
+        if resident_dataset is not None:
+            self.train_step = make_resident_train_step(
+                self.loss_fn, resident_dataset.images,
+                resident_dataset.labels, augment_fn=device_augment)
+        else:
+            self.train_step = make_train_step(self.loss_fn)
         self.checkpoint_manager = checkpoint_manager
         self.log_every = log_every
         self.callbacks = list(callbacks or [])
@@ -345,6 +422,8 @@ class CoreTrain:
             last_parts = {}
             timer = StepTimer()
             def process_and_shard(batch):
+                if self.resident_dataset is not None:
+                    return batch  # [B] index vector; data already on device
                 if self.inputs_process is not None:
                     batch = self.inputs_process(batch)
                 return shard_batch(self.env.mesh, batch)
@@ -365,14 +444,19 @@ class CoreTrain:
                 data, process_and_shard,
                 size=self.prefetch_to_device)
             for batch in batches:
-                if self.device_augment is not None:
+                if (self.device_augment is not None
+                        and self.resident_dataset is None):
                     # host-side counter: reading state.step would force a
                     # device sync every step
                     # stream-tagged so the augmentation keys never collide
                     # with the train step's fold_in(rng, state.step) dropout
-                    # keys (same base, same counter = identical keys)
+                    # keys (same base, same counter = identical keys).
+                    # _AUGMENT_STREAM keeps this derivation in lockstep with
+                    # the fused resident step, which replays it at
+                    # state.step inside the program.
                     aug_rng = jax.random.fold_in(
-                        jax.random.fold_in(self.rng, 0x0AB6), self._host_step)
+                        jax.random.fold_in(self.rng, _AUGMENT_STREAM),
+                        self._host_step)
                     image, label = self.device_augment(
                         aug_rng, batch["image"], batch["label"]
                     )
@@ -385,7 +469,12 @@ class CoreTrain:
                     jax.profiler.start_trace(self.profiler_dir)
                     profiling = True
                     profile_started_at = step_in_epoch
-                self.state, parts = self.train_step(self.state, batch, self.rng)
+                if self.resident_dataset is not None:
+                    self.state, parts = self.train_step(
+                        self.state, batch["index"], self.rng)
+                else:
+                    self.state, parts = self.train_step(
+                        self.state, batch, self.rng)
                 self._host_step += 1
                 last_parts = parts
                 step_in_epoch += 1

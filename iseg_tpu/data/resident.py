@@ -104,6 +104,19 @@ class DeviceResidentDataset:
             np.random.default_rng(key).shuffle(order)
         return order
 
+    def index_batches(self, batch_size: int, epoch: int = 0, seed: int = 0,
+                      shuffle: bool = True,
+                      drop_remainder: bool = True) -> Iterator[np.ndarray]:
+        """Yield per-batch ``[batch]`` int index vectors (host numpy) over
+        the same epoch stream as :meth:`batches` — the input for the fused
+        single-program path (``core.train.make_resident_train_step``)."""
+        order = self.epoch_indices(epoch, seed, shuffle)
+        for start in range(0, len(order), batch_size):
+            chunk = order[start : start + batch_size]
+            if len(chunk) < batch_size and drop_remainder:
+                return
+            yield chunk
+
     def batches(self, batch_size: int, epoch: int = 0, seed: int = 0,
                 shuffle: bool = True,
                 drop_remainder: bool = True) -> Iterator[dict]:
@@ -111,11 +124,8 @@ class DeviceResidentDataset:
 
         The gather is a module-level jitted function (compiled once per
         process); each call ships only a [batch] int32 index vector."""
-        order = self.epoch_indices(epoch, seed, shuffle)
-        for start in range(0, len(order), batch_size):
-            chunk = order[start : start + batch_size]
-            if len(chunk) < batch_size and drop_remainder:
-                return
+        for chunk in self.index_batches(batch_size, epoch, seed, shuffle,
+                                        drop_remainder):
             image, label = _gather(self.images, self.labels,
                                    jnp.asarray(chunk, jnp.int32))
             yield {"image": image, "label": label}
@@ -127,6 +137,19 @@ class DeviceResidentDataset:
         def fn(epoch: int) -> Iterator[dict]:
             return self.batches(batch_size, epoch=epoch, seed=seed,
                                 shuffle=shuffle)
+
+        return fn
+
+    def index_dataset_fn(self, batch_size: int, seed: int = 0,
+                         shuffle: bool = True):
+        """``dataset_fn(epoch)`` for ``CoreTrain(resident_dataset=self)``:
+        yields ``{"index": [batch] int}`` batches; the gather + augment +
+        step run as one compiled program on device."""
+
+        def fn(epoch: int) -> Iterator[dict]:
+            for chunk in self.index_batches(batch_size, epoch=epoch,
+                                            seed=seed, shuffle=shuffle):
+                yield {"index": chunk}
 
         return fn
 

@@ -126,3 +126,149 @@ def test_core_train_with_resident_dataset(shard_dir):
     history = trainer.train(ds.dataset_fn(batch_size=8), epochs=1,
                             steps_per_epoch=1)
     assert np.isfinite(history[0]["loss"])
+
+
+def test_fused_resident_step_matches_separate(shard_dir):
+    """make_resident_train_step (ONE compiled program: gather + augment +
+    step) reproduces the separate-dispatch path (gather program, augment
+    program, train program) over the same epoch stream and RNG
+    derivations.
+
+    Step 1 must agree to float-rounding precision (same params, same RNG
+    keys, same sample stream — any logic bug would show here). Later
+    steps drift by last-ulp differences from XLA fusing the augment chain
+    into the step program, amplified through SGD updates, so they get a
+    looser numeric bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.core.model import SegManaged
+    from iseg_tpu.core.optimizer import get_optimizer
+    from iseg_tpu.core.train import (
+        _AUGMENT_STREAM,
+        create_train_state,
+        make_resident_train_step,
+        make_train_step,
+    )
+    from iseg_tpu.data.device_augment import (
+        DeviceAugmentConfig,
+        make_device_augment,
+    )
+    from iseg_tpu.nn.heads import SimpleDecoder
+
+    model = SegManaged(
+        num_class=4,
+        backbone=get_backbone("resnet9", output_stride=16),
+        head=SimpleDecoder(filters=16, low_level_filters=8),
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 32, 32, 3)))
+    tx, _ = get_optimizer(variables["params"], "sgd", learning_rate=0.05,
+                          train_steps=10)
+    loss_fn = model.build_loss_fn()
+    aug = make_device_augment(
+        DeviceAugmentConfig(crop_size=(32, 32), ignore_label=255))
+
+    def augment_and_norm(key, images_u8, labels_i32):
+        images, labels = aug(key, images_u8, labels_i32)
+        return (images - 127.5) / 127.5, labels
+
+    ds = DeviceResidentDataset(ShardReader(shard_dir))
+
+    def init_state():
+        return create_train_state(model, rng, (1, 32, 32, 3), tx,
+                                  variables=variables)
+
+    # separate-dispatch path (CoreTrain's non-resident device_augment
+    # branch, replayed by hand)
+    state_a = init_state()
+    parts_a = []
+    host_step = 0
+    for epoch in range(2):
+        for b in ds.batches(4, epoch=epoch, seed=7):
+            aug_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, _AUGMENT_STREAM), host_step)
+            image, label = augment_and_norm(
+                aug_rng, b["image"], b["label"].astype(jnp.int32))
+            state_a, parts = make_train_step(loss_fn, donate=False)(
+                state_a, {"image": image, "label": label}, rng)
+            parts_a.append(float(parts["loss"]))
+            host_step += 1
+
+    # fused single-program path over the same index stream
+    state_b = init_state()
+    fused = make_resident_train_step(loss_fn, ds.images, ds.labels,
+                                     augment_fn=augment_and_norm,
+                                     donate=False)
+    parts_b = []
+    for epoch in range(2):
+        for idx in ds.index_batches(4, epoch=epoch, seed=7):
+            state_b, parts = fused(state_b, idx, rng)
+            parts_b.append(float(parts["loss"]))
+
+    # step 1: identical params, so only cross-program fusion rounding
+    np.testing.assert_allclose(parts_a[0], parts_b[0], rtol=1e-5)
+    # later steps: rounding drift compounds through SGD updates
+    np.testing.assert_allclose(parts_a, parts_b, rtol=2e-3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-2,
+                                                atol=1e-3),
+        state_a.params, state_b.params)
+
+
+def test_core_train_resident_fused_matches_separate(shard_dir):
+    """CoreTrain(resident_dataset=ds) + index_dataset_fn trains to the
+    same parameters as the separate-dispatch resident path (dataset_fn +
+    device_augment), same seed."""
+    import jax
+    import jax.numpy as jnp
+
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.core.env import EnvConfig, common_env_setup
+    from iseg_tpu.core.model import SegManaged
+    from iseg_tpu.core.optimizer import get_optimizer
+    from iseg_tpu.core.train import CoreTrain
+    from iseg_tpu.data.device_augment import (
+        DeviceAugmentConfig,
+        make_device_augment,
+    )
+    from iseg_tpu.nn.heads import SimpleDecoder
+
+    env = common_env_setup(EnvConfig())
+    augment = make_device_augment(
+        DeviceAugmentConfig(crop_size=(32, 32), ignore_label=255))
+    ds = DeviceResidentDataset(ShardReader(shard_dir))
+
+    def run(fused: bool):
+        model = SegManaged(
+            num_class=4,
+            backbone=get_backbone("resnet9", output_stride=16),
+            head=SimpleDecoder(filters=16, low_level_filters=8),
+        )
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+        tx, _ = get_optimizer(variables["params"], "sgd",
+                              learning_rate=0.05, train_steps=10)
+        trainer = CoreTrain(
+            env, model, tx, input_shape=(1, 32, 32, 3),
+            device_augment=augment, log_every=0, variables=variables,
+            resident_dataset=ds if fused else None,
+        )
+        dataset_fn = (ds.index_dataset_fn(batch_size=8) if fused
+                      else ds.dataset_fn(batch_size=8))
+        history = trainer.train(dataset_fn, epochs=1, steps_per_epoch=2)
+        assert np.isfinite(history[0]["loss"])
+        return history[0]["loss"], trainer.state.params
+
+    loss_sep, params_sep = run(fused=False)
+    loss_fused, params_fused = run(fused=True)
+    np.testing.assert_allclose(loss_sep, loss_fused, rtol=1e-4)
+    # cross-program fusion rounding drifts params by ~1e-5 over 2 SGD
+    # steps; a wrong RNG stream / index stream would diverge far more
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-3,
+                                                atol=1e-4),
+        params_sep, params_fused)

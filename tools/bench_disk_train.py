@@ -12,6 +12,11 @@ BENCH_MODE=resident (device-resident, for datasets that fit HBM):
   one-time shard upload -> per-step on-device gather -> fused augment
   -> input norm -> train step  (zero host->HBM traffic per step)
 
+BENCH_MODE=resident_fused (resident + single-program step):
+  same, but gather + augment + norm + train step dispatch as ONE compiled
+  program (core.train.make_resident_train_step) — the host ships only a
+  [batch] int32 index vector per step
+
 vs. the synthetic-tensor headline (bench.py). Prints one JSON line per
 config. Run on the TPU host:  python tools/bench_disk_train.py
 """
@@ -112,7 +117,9 @@ def main():
         images = (images.astype(dtype) - 127.5) / 127.5
         return images, labels
 
-    resident = os.environ.get("BENCH_MODE") == "resident"
+    mode = os.environ.get("BENCH_MODE", "")
+    resident = mode in ("resident", "resident_fused")
+    fused_step = mode == "resident_fused"
     if resident:
         from iseg_tpu.data.resident import DeviceResidentDataset
 
@@ -135,20 +142,46 @@ def main():
                                          epoch=epoch)
                 epoch += 1
 
-    it = (iter(batches_forever()) if resident else device_prefetch(
-        batches_forever(), lambda b: shard_batch(mesh, b), size=2
-    ))
+    if fused_step:
+        from iseg_tpu.core.train import make_resident_train_step
 
-    def run_steps(n_steps, state):
-        host_step = 0
-        for _ in range(n_steps):
-            b = next(it)
-            key = jax.random.fold_in(rng, host_step)
-            host_step += 1
-            image, label = augment_and_norm(key, b["image"], b["label"])
-            state, parts = step_fn(state, {"image": image, "label": label},
-                                   rng)
-        return state, parts
+        def augment_and_norm_raw(key, images_u8, labels_i32):
+            images, labels = aug(key, images_u8, labels_i32)
+            images = (images.astype(dtype) - 127.5) / 127.5
+            return images, labels
+
+        res_step = make_resident_train_step(
+            model.build_loss_fn(), ds.images, ds.labels,
+            augment_fn=augment_and_norm_raw)
+
+        def index_forever():
+            epoch = 0
+            while True:
+                yield from ds.index_batches(batch, epoch=epoch, seed=0)
+                epoch += 1
+
+        idx_it = iter(index_forever())
+
+        def run_steps(n_steps, state):
+            for _ in range(n_steps):
+                state, parts = res_step(state, next(idx_it), rng)
+            return state, parts
+    else:
+        it = (iter(batches_forever()) if resident else device_prefetch(
+            batches_forever(), lambda b: shard_batch(mesh, b), size=2
+        ))
+
+        def run_steps(n_steps, state):
+            host_step = 0
+            for _ in range(n_steps):
+                b = next(it)
+                key = jax.random.fold_in(rng, host_step)
+                host_step += 1
+                image, label = augment_and_norm(key, b["image"], b["label"])
+                state, parts = step_fn(state,
+                                       {"image": image, "label": label},
+                                       rng)
+            return state, parts
 
     # warmup: compile + fill page cache (first epoch reads cold from disk)
     state, parts = run_steps(warmup, state)
@@ -163,7 +196,9 @@ def main():
         assert loss == loss
         rates.append(batch * steps / dt / jax.device_count())
     rates.sort()
-    metric = ("resnet50_aspp_512_train_from_disk_resident" if resident
+    metric = ("resnet50_aspp_512_train_from_disk_resident_fused"
+              if fused_step else
+              "resnet50_aspp_512_train_from_disk_resident" if resident
               else "resnet50_aspp_512_train_from_disk_shards")
     print(json.dumps({
         "metric": metric,
