@@ -171,6 +171,7 @@ def make_resident_train_step(
     labels: jax.Array,
     augment_fn: Optional[Callable] = None,
     donate: bool = True,
+    mesh=None,
 ) -> Callable:
     """ONE compiled program per training step for device-resident data
     (``iseg_tpu.data.resident.DeviceResidentDataset``): on-device gather
@@ -189,12 +190,28 @@ def make_resident_train_step(
     ``make_device_augment(cfg)`` composed with input normalization; the
     key reproduces CoreTrain's stream-tagged derivation at ``state.step``.
     Returns ``step(state, idx, rng) -> (new_state, parts)``.
+
+    With ``mesh``, the gathered batch is constrained onto the data axis so
+    augment + fwd/bwd run data-parallel. Pairs with
+    ``DeviceResidentDataset(mesh=...)`` (dataset sample-sharded across chip
+    HBM): GSPMD assembles each device's batch slice from the owning chips
+    — one uint8-batch all-reduce of ICI traffic per step, never the
+    dataset (see data/resident.py module doc).
     """
     body = _train_step_body(loss_fn)
+    if mesh is not None:
+        from iseg_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        idx_sharding = replicated_sharding(mesh)
 
     def fused(state: TrainState, res_images, res_labels, idx, rng):
         image = jnp.take(res_images, idx, axis=0)
         label = jnp.take(res_labels, idx, axis=0).astype(jnp.int32)
+        if mesh is not None:
+            image = jax.lax.with_sharding_constraint(
+                image, batch_sharding(mesh, image.ndim))
+            label = jax.lax.with_sharding_constraint(
+                label, batch_sharding(mesh, label.ndim))
         if augment_fn is not None:
             aug_rng = jax.random.fold_in(
                 jax.random.fold_in(rng, _AUGMENT_STREAM), state.step)
@@ -209,8 +226,10 @@ def make_resident_train_step(
     jitted = jax.jit(fused, donate_argnums=(0,) if donate else ())
 
     def step(state: TrainState, idx, rng: jax.Array):
-        return jitted(state, images, labels,
-                      jnp.asarray(idx, jnp.int32), rng)
+        idx = jnp.asarray(idx, jnp.int32)
+        if mesh is not None:
+            idx = jax.device_put(idx, idx_sharding)
+        return jitted(state, images, labels, idx, rng)
 
     return step
 
@@ -265,10 +284,14 @@ class CoreTrain:
         # make_resident_train_step. device_augment (if any) moves inside
         # the program; the loop's separate-dispatch branch is skipped.
         self.resident_dataset = resident_dataset
+        # mesh constraints only when the dataset was uploaded sample-
+        # sharded (DeviceResidentDataset(mesh=...)); an unsharded resident
+        # dataset is committed to one device and trains there
         if resident_dataset is not None:
             self.train_step = make_resident_train_step(
                 self.loss_fn, resident_dataset.images,
-                resident_dataset.labels, augment_fn=device_augment)
+                resident_dataset.labels, augment_fn=device_augment,
+                mesh=getattr(resident_dataset, "mesh", None))
         else:
             self.train_step = make_train_step(self.loss_fn)
         self.checkpoint_manager = checkpoint_manager

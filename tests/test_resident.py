@@ -272,3 +272,166 @@ def test_core_train_resident_fused_matches_separate(shard_dir):
                                                 np.asarray(b), rtol=1e-3,
                                                 atol=1e-4),
         params_sep, params_fused)
+
+
+@pytest.fixture(scope="module")
+def raw_source():
+    """8 raw samples (divisible by the 8-device mesh) for sharded tests."""
+    rng = np.random.RandomState(99)
+    images = rng.randint(0, 256, (8, 32, 48, 3)).astype(np.uint8)
+    labels = rng.randint(0, 4, (8, 32, 48)).astype(np.uint8)
+    return images, labels
+
+
+def test_sharded_upload_splits_samples_across_devices(raw_source):
+    import jax
+
+    from iseg_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    ds = DeviceResidentDataset(raw_source, mesh=mesh)
+    assert ds.num_samples == 8
+    np.testing.assert_array_equal(np.asarray(ds.images), raw_source[0])
+    shard_sizes = [s.data.shape[0] for s in ds.images.addressable_shards]
+    assert shard_sizes == [1] * jax.device_count()
+
+
+def test_sharded_upload_truncates_uneven(shard_dir):
+    """10 samples over an 8-way sample sharding -> equalized to 8 (same
+    drop-remainder semantics as the process partition)."""
+    from iseg_tpu.parallel.mesh import create_mesh
+
+    ds = DeviceResidentDataset(ShardReader(shard_dir), mesh=create_mesh())
+    assert ds.num_samples == 8
+
+
+def test_sharded_chunked_upload_matches(raw_source):
+    """Chunked upload (chunk rounded to the shard count) assembles the
+    same sharded array as one-shot upload."""
+    from iseg_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    one = DeviceResidentDataset(raw_source, mesh=mesh)
+    # ShardReader-style source forcing several chunks
+    class _Src:
+        def __len__(self):
+            return 8
+
+        def gather(self, idx):
+            return raw_source[0][idx], raw_source[1][idx]
+
+    chunked = DeviceResidentDataset(_Src(), mesh=mesh, chunk_samples=3)
+    np.testing.assert_array_equal(np.asarray(one.images),
+                                  np.asarray(chunked.images))
+    assert chunked.images.sharding == one.images.sharding
+
+
+def test_sharded_fused_step_matches_unsharded(raw_source):
+    """The fused step over a sample-sharded dataset computes the same
+    step-1 loss as over the single-device dataset — GSPMD assembles the
+    identical batch from the owning chips. The compiled program must not
+    all-gather the dataset itself (only the [batch] index vector)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.core.model import SegManaged
+    from iseg_tpu.core.optimizer import get_optimizer
+    from iseg_tpu.core.train import (
+        create_train_state,
+        make_resident_train_step,
+    )
+    from iseg_tpu.nn.heads import SimpleDecoder
+    from iseg_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    model = SegManaged(
+        num_class=4,
+        backbone=get_backbone("resnet9", output_stride=16),
+        head=SimpleDecoder(filters=16, low_level_filters=8),
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 32, 48, 3)))
+    tx, _ = get_optimizer(variables["params"], "sgd", learning_rate=0.05,
+                          train_steps=10)
+    loss_fn = model.build_loss_fn()
+
+    def norm(key, images_u8, labels_i32):
+        return (images_u8.astype(jnp.float32) - 127.5) / 127.5, labels_i32
+
+    def one_step(ds, mesh_arg):
+        state = create_train_state(model, rng, (1, 32, 48, 3), tx,
+                                   variables=variables)
+        step = make_resident_train_step(loss_fn, ds.images, ds.labels,
+                                        augment_fn=norm, donate=False,
+                                        mesh=mesh_arg)
+        _, parts = step(state, np.arange(8), rng)
+        return float(parts["loss"])
+
+    plain = one_step(DeviceResidentDataset(raw_source), None)
+    sharded = one_step(DeviceResidentDataset(raw_source, mesh=mesh), mesh)
+    np.testing.assert_allclose(plain, sharded, rtol=1e-5)
+
+
+def test_sharded_gather_never_materializes_dataset(raw_source):
+    """HLO-level property: with the dataset sample-sharded, the only
+    all-gather in the gather program is the index vector — per-step ICI
+    traffic is one batch, never the resident arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from iseg_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    mesh = create_mesh()
+    ds = DeviceResidentDataset(raw_source, mesh=mesh)
+
+    @jax.jit
+    def gather_batch(res, idx):
+        out = jnp.take(res, idx, axis=0)
+        return jax.lax.with_sharding_constraint(
+            out, batch_sharding(mesh, out.ndim))
+
+    idx = jnp.arange(8, dtype=jnp.int32)
+    hlo = gather_batch.lower(ds.images, idx).compile().as_text()
+    gathers = [l for l in hlo.splitlines() if "all-gather" in l
+               and "= u8[" in l.replace(" ", "")]
+    assert not gathers, f"dataset-typed all-gather in HLO: {gathers}"
+
+
+def test_core_train_sharded_resident(raw_source):
+    """CoreTrain over a mesh-sharded resident dataset trains (loss finite,
+    params replicated over the mesh afterwards)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iseg_tpu.backbones import get_backbone
+    from iseg_tpu.core.env import EnvConfig, common_env_setup
+    from iseg_tpu.core.model import SegManaged
+    from iseg_tpu.core.optimizer import get_optimizer
+    from iseg_tpu.core.train import CoreTrain
+    from iseg_tpu.data.device_augment import (
+        DeviceAugmentConfig,
+        make_device_augment,
+    )
+    from iseg_tpu.nn.heads import SimpleDecoder
+
+    env = common_env_setup(EnvConfig())
+    ds = DeviceResidentDataset(raw_source, mesh=env.mesh)
+    model = SegManaged(
+        num_class=4,
+        backbone=get_backbone("resnet9", output_stride=16),
+        head=SimpleDecoder(filters=16, low_level_filters=8),
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 3)))
+    tx, _ = get_optimizer(variables["params"], "sgd", learning_rate=0.05,
+                          train_steps=10)
+    augment = make_device_augment(
+        DeviceAugmentConfig(crop_size=(32, 32), ignore_label=255))
+    trainer = CoreTrain(
+        env, model, tx, input_shape=(1, 32, 48, 3),
+        device_augment=augment, log_every=0, variables=variables,
+        resident_dataset=ds,
+    )
+    history = trainer.train(ds.index_dataset_fn(batch_size=8), epochs=1,
+                            steps_per_epoch=1)
+    assert np.isfinite(history[0]["loss"])
