@@ -230,6 +230,8 @@ def get_optimizer(
     lr_multipliers: Optional[Mapping[str, float]] = None,
     extra_no_decay: Sequence[str] = (),
     scrub_nan_grads: bool = True,
+    keras_momentum: bool = False,
+    poly_ref_exact: bool = False,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
     """Build the optimizer + schedule (reference ``core_optimizer.py:18``).
 
@@ -238,6 +240,16 @@ def get_optimizer(
 
     Multi-optimizer training (list-valued kwargs in the reference,
     ``core_optimizer.py:55-106``) is covered by :func:`get_multi_optimizer`.
+
+    ``keras_momentum`` switches SGD to Keras's velocity formulation
+    ``v_t = m*v_{t-1} - lr_t*g_t; w += v_t`` (keras/src/optimizers/sgd.py,
+    the optimizer the reference trains with via ``core_optimizer.py:163``).
+    The optax default ``w -= lr_t*(m*v_{t-1} + g_t)`` is identical under a
+    CONSTANT learning rate but diverges under a schedule (Keras's velocity
+    carries each step's own LR; optax re-scales the whole trace by the
+    current LR). Trajectory parity with the reference requires the Keras
+    ordering. ``poly_ref_exact`` selects the reference's poly-warmup clamp
+    quirk (see :func:`warmup_poly_decay`).
     """
     if decay_strategy in ("poly", "polynomial"):
         schedule = warmup_poly_decay(
@@ -247,6 +259,7 @@ def get_optimizer(
             power=poly_power,
             warmup_steps=warmup_steps,
             warmup_learning_rate=warmup_learning_rate,
+            ref_exact=poly_ref_exact,
         )
     elif decay_strategy == "cosine":
         schedule = warmup_cosine_decay(
@@ -268,7 +281,8 @@ def get_optimizer(
 
     name = name.lower()
     if name == "sgd":
-        chain.append(optax.trace(decay=sgd_momentum, nesterov=False))
+        if not keras_momentum:
+            chain.append(optax.trace(decay=sgd_momentum, nesterov=False))
         if weight_decay:
             chain.append(
                 optax.add_decayed_weights(
@@ -307,6 +321,10 @@ def get_optimizer(
         chain.append(scale_by_lr_multipliers(lr_multiplier_tree(params, lr_multipliers)))
 
     chain.append(optax.scale_by_learning_rate(schedule))
+    if name == "sgd" and keras_momentum and sgd_momentum:
+        # Keras ordering: the velocity accumulates ALREADY-lr-scaled steps,
+        # so the trace sits AFTER scale_by_learning_rate
+        chain.append(optax.trace(decay=sgd_momentum, nesterov=False))
     return optax.chain(*chain), schedule
 
 

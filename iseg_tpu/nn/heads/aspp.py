@@ -23,6 +23,12 @@ class ASPP(nn.Module):
     use_separable_conv: bool = False
     dropout_rate: float = 0.1
     use_image_level: bool = True
+    # the reference's ASPP (layers/aspp.py:7) returns the raw branch concat
+    # with NO projection conv — its drivers project via CommonEndBlock or
+    # the logits conv. use_projection=False reproduces that exact shape
+    # (used by the train-trajectory parity tests); the default keeps the
+    # standard DeepLabV3 1x1 projection.
+    use_projection: bool = True
     norm: str = "sync_batch_norm"
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -56,9 +62,9 @@ class ASPP(nn.Module):
             )
 
         y = jnp.concatenate([b.astype(branches[-1].dtype) for b in branches], axis=-1)
-        y = ConvNormAct(filters=self.filters, kernel_size=1, name="project", **common)(
-            y, train=train
-        )
+        if self.use_projection:
+            y = ConvNormAct(filters=self.filters, kernel_size=1, name="project",
+                            **common)(y, train=train)
         if self.dropout_rate > 0:
             y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         return y
