@@ -62,6 +62,10 @@ def main():
                    help="use the Pallas fused upsample+CE kernel")
     p.add_argument("--data_dir", default=None,
                    help="dir with images/ and labels/ subdirs; synthetic if unset")
+    p.add_argument("--pretrained", default=None,
+                   help="published backbone weight file (.h5/.weights.h5/"
+                        ".keras/TF-ckpt) ingested by name map, e.g. the "
+                        "reference's resnet50.h5 release")
     p.add_argument("--ckpt_dir", default="/tmp/iseg_tpu_ckpt")
     p.add_argument("--eval_scales", default="1.0")
     p.add_argument("--flip_eval", action="store_true")
@@ -115,6 +119,25 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, args.crop, args.crop, 3)))
+    if args.pretrained:
+        # published-backbone ingest by name map (REPRO.md): the SegManaged
+        # tree keeps backbone params under the "backbone" segment the
+        # family maps address; head/logits stay at their fresh init
+        from iseg_tpu.backbones.pretrained import name_map_for
+        from iseg_tpu.core.h5_ingest import load_h5_weights_by_name
+
+        map_fn = name_map_for(args.backbone)
+        mapping = map_fn(variables) if map_fn is not None else None
+        variables, report = load_h5_weights_by_name(
+            variables, args.pretrained, name_map=mapping)
+        backbone_missing = [m for m in report["missing"]
+                            if "/backbone/" in m]
+        print(f"pretrained ingest: {len(report['loaded'])} loaded, "
+              f"{len(backbone_missing)} backbone params unmatched")
+        if backbone_missing:
+            raise SystemExit(
+                f"unmatched backbone params, refusing to silently train "
+                f"from partial init: {backbone_missing[:6]}")
     tx, _ = get_optimizer(
         variables["params"], args.optimizer, learning_rate=args.lr,
         train_steps=args.epochs * args.steps_per_epoch,

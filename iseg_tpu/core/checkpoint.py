@@ -95,6 +95,40 @@ class ModelHelper:
         )
         return template_state.replace(**restored)
 
+    def restore_latest_variables(self, variables_template) -> Optional[dict]:
+        """Restore ONLY ``params``/``batch_stats`` (plus ``ema_params``
+        when on disk) for eval/predict drivers. The optimizer state's tree
+        structure depends on the training chain (schedule, momentum,
+        grad-accum wrapping), which an eval process neither has nor needs
+        — a full-tree ``restore_latest`` would fail on the mismatch.
+        Returns an eval ``variables`` dict (EMA params preferred when
+        present), or None when no checkpoint exists."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        self._manager.wait_until_finished()
+        step = self._manager.latest_step()
+        if step is None:
+            return None
+        template = {
+            k: variables_template[k]
+            for k in ("params", "batch_stats")
+            if k in variables_template and variables_template[k] is not None
+        }
+        restored = dict(self._manager.restore(
+            step, args=ocp.args.PyTreeRestore(template,
+                                              partial_restore=True)))
+        try:  # EMA weights, when the trainer tracked them
+            ema = self._manager.restore(
+                step, args=ocp.args.PyTreeRestore(
+                    {"ema_params": template["params"]},
+                    partial_restore=True))
+            restored["params"] = ema["ema_params"]
+        except Exception:
+            pass
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), restored)
+
     def all_steps(self):
         return self._manager.all_steps()
 

@@ -34,6 +34,10 @@ class EnvConfig:
     random_seed: int = 0
     mixed_precision: bool = True
     model_parallelism: int = 1
+    # cap the mesh to the first N local devices (eval/predict drivers use
+    # this to keep the data axis a divisor of small eval batches; the
+    # reference's equivalent is strategy selection, core_env.py:63-81)
+    num_devices: int | None = None
     # persistent XLA compilation cache (first ResNet-50-sized compile can
     # take minutes on TPU; subsequent runs hit the cache)
     compilation_cache_dir: str | None = "~/.cache/iseg_tpu_xla"
@@ -81,7 +85,11 @@ def common_env_setup(config: EnvConfig | None = None, **kwargs) -> MeshEnv:
     else:
         compute_dtype = jnp.float32
 
-    mesh = create_mesh(model_parallelism=config.model_parallelism)
+    devices = None
+    if config.num_devices is not None:
+        devices = jax.devices()[: config.num_devices]
+    mesh = create_mesh(devices=devices,
+                       model_parallelism=config.model_parallelism)
     return MeshEnv(
         mesh=mesh,
         seed=config.random_seed,

@@ -85,7 +85,17 @@ def _run_parity(ref_name, my_name, map_fn, size=96, output_stride=32,
                 **my_kwargs):
     model = ref_compat.build_reference_backbone(
         ref_name, size, output_stride=output_stride)
-    _randomize(model)
+    real_weights = os.environ.get("REPRO_WEIGHTS")
+    if real_weights:
+        # REPRO.md §1: run the same parity check on a DOWNLOADED published
+        # weight file — the reference's own loader fills its model, then
+        # the usual extract -> name-map ingest -> endpoint compare runs
+        # on the real values instead of the randomized stand-ins
+        from iseg.saver.h5_saver import load_h5_weight_by_name
+
+        load_h5_weight_by_name(model, real_weights)
+    else:
+        _randomize(model)
     weights = ref_compat.extract_weights(model)
     x = _seeded_input(size)
     ref_eps = ref_compat.reference_forward(model, x)
