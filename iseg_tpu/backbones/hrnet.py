@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from iseg_tpu.backbones.registry import register_backbone
 from iseg_tpu.backbones.resnet import BasicBlock, BottleneckBlock
 from iseg_tpu.nn.conv import ConvNormAct
+from iseg_tpu.nn.wfold import WFoldedBasicBlock, fold_factor, fold_x, unfold_x
 from iseg_tpu.ops.resize import resize_image
 
 
@@ -74,6 +75,7 @@ class HRModule(nn.Module):
     channels: Sequence[int]
     num_blocks: int = 4
     norm: str = "sync_batch_norm"
+    w_fold: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -82,6 +84,21 @@ class HRModule(nn.Module):
         outs = []
         for i, (b, ch) in enumerate(zip(branches, self.channels)):
             h = b
+            # thin-channel branches run in the W-folded domain (exact;
+            # see nn/wfold.py): 48ch at os4 is otherwise HBM-bound at
+            # ~25% of the bandwidth floor from 48->128 lane padding
+            fold = (fold_factor(ch, b.shape[2])
+                    if self.w_fold and "batch_norm" in self.norm else 0)
+            if fold:
+                h = fold_x(h, fold)
+                for k in range(self.num_blocks):
+                    h = WFoldedBasicBlock(
+                        filters=ch, fold=fold, bn_epsilon=1e-3,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"branch{i}_block{k}")(h, train=train)
+                h = unfold_x(h, fold)
+                outs.append(h)
+                continue
             for k in range(self.num_blocks):
                 h = BasicBlock(filters=ch, bn_epsilon=1e-3, norm=self.norm,
                                dtype=self.dtype,
@@ -98,6 +115,9 @@ class HRNet(nn.Module):
     stage_modules: Sequence[int] = (1, 1, 4, 3)  # modules per stage
     return_endpoints: bool = True
     norm: str = "sync_batch_norm"
+    # exact W-folded fast path for thin branches (nn/wfold.py); identical
+    # parameters/checkpoints, numerics equal up to fp summation order
+    w_fold: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -132,7 +152,8 @@ class HRNet(nn.Module):
             for m in range(n_modules):
                 branches = HRModule(
                     channels=channels[:n_branches], norm=self.norm,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    w_fold=self.w_fold, dtype=self.dtype,
+                    param_dtype=self.param_dtype,
                     name=f"stage{stage_idx}_module{m}",
                 )(branches, train=train)
             if stage_idx < len(self.stage_modules):
