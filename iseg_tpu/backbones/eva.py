@@ -141,11 +141,30 @@ class EvaBlock(nn.Module):
         k = k.reshape(b, n, self.num_heads, head_dim)
         v = v.reshape(b, n, self.num_heads, head_dim)
 
-        # RoPE on spatial tokens only (prefix passes through)
-        q = jnp.concatenate([q[:, :p], apply_rope(q[:, p:], sin, cos)], axis=1)
-        k = jnp.concatenate([k[:, :p], apply_rope(k[:, p:], sin, cos)], axis=1)
+        # RoPE on spatial tokens only. The tables arrive with identity
+        # rows (sin=0, cos=1) prepended for the prefix tokens — rotation
+        # by zero is the identity — so ALL tokens rotate in one op with
+        # no concat seams (probe_eva.py: the per-q/k concat costs 4x the
+        # rotation itself).
+        del p
+        q = apply_rope(q, sin, cos)
+        k = apply_rope(k, sin, cos)
 
-        attn = jax.nn.dot_product_attention(q, k, v).reshape(b, n, self.dim)
+        # Attention with the T^2 tensors kept in the model's compute
+        # dtype. In bf16 this halves the dominant HBM traffic — the
+        # materializing logits/probs round-trips — for 1.51x on the
+        # attention unit at EVA02-L 512^2 geometry (tools/probe_eva.py:
+        # 3.26 -> 2.16 ms fwd+bwd; flash at D=64 measures 7.9 ms; max
+        # abs deviation 2.4e-4, the same as the flash kernel's own).
+        # With dtype=None (f32 / parity), logits stay f32 — exact.
+        logits_dtype = self.dtype or jnp.promote_types(q.dtype, jnp.float32)
+        scale = jnp.asarray(1.0 / np.sqrt(head_dim), logits_dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=logits_dtype)
+        probs = jax.nn.softmax(
+            (logits * scale).astype(jnp.float32), axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        attn = attn.reshape(b, n, self.dim)
         attn = nn.Dense(self.dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="proj")(attn)
         x = x + DropPath(self.drop_path, name="dp1")(attn, deterministic=not train)
@@ -214,6 +233,8 @@ class Eva(nn.Module):
         head_dim = self.dim // self.num_heads
         sin, cos = build_rope_2d(gh, gw, head_dim)
         sin, cos = jnp.asarray(sin), jnp.asarray(cos)
+        ident_s = jnp.zeros((1, head_dim), sin.dtype)
+        ident_c = jnp.ones((1, head_dim), cos.dtype)
 
         # Patch dropout (reference eva/patch_dropout.py:13, an orphan module
         # there; usable here): drop spatial tokens, gather each element's
@@ -225,9 +246,21 @@ class Eva(nn.Module):
             x, keep_idx = PatchDropout(
                 self.patch_dropout_rate, num_prefix_tokens=1,
                 return_indices=True, name="patch_dropout")(x, train=train)
+        # Prepend identity rows (sin=0, cos=1) for the cls token so blocks
+        # rotate every token in one op (see EvaBlock).
         if keep_idx is not None:
             sin = jnp.take(sin, keep_idx, axis=0)  # [B, nk, D]
             cos = jnp.take(cos, keep_idx, axis=0)
+            bsz = sin.shape[0]
+            sin = jnp.concatenate(
+                [jnp.broadcast_to(ident_s[None], (bsz, 1, head_dim)), sin],
+                axis=1)
+            cos = jnp.concatenate(
+                [jnp.broadcast_to(ident_c[None], (bsz, 1, head_dim)), cos],
+                axis=1)
+        else:
+            sin = jnp.concatenate([ident_s, sin], axis=0)
+            cos = jnp.concatenate([ident_c, cos], axis=0)
 
         def to_spatial(tokens):
             """[B, nk(+drop), C] spatial tokens -> [B, gh, gw, C]."""

@@ -72,22 +72,25 @@ def time_fn(fn, *args, iters=ITERS):
 
 
 def time_module(module, shapes, train=True, dtype=jnp.bfloat16,
-                extra_args=(), iters=ITERS, backward=True):
+                extra_args=(), iters=ITERS, backward=True,
+                takes_train=True):
     """ms for one application of a flax ``module`` on random inputs of
-    ``shapes``; ``backward=True`` adds grads wrt params AND inputs."""
+    ``shapes``; ``backward=True`` adds grads wrt params AND inputs.
+    ``takes_train=False`` for modules without a ``train`` kwarg
+    (SwiGLU, LayerNorm, ...)."""
     xs = [jnp.asarray(np.random.RandomState(i).rand(*s), dtype)
           for i, s in enumerate(shapes)]
     arg = xs[0] if len(xs) == 1 else list(xs)
-    variables = module.init(jax.random.PRNGKey(0), arg, *extra_args,
-                            train=False)
+    tkw = {"train": False} if takes_train else {}
+    variables = module.init(jax.random.PRNGKey(0), arg, *extra_args, **tkw)
     params = variables["params"]
     bs = variables.get("batch_stats", {})
 
     def loss(params, xs):
         arg = xs[0] if len(xs) == 1 else list(xs)
+        kw = {"train": train} if takes_train else {}
         out = module.apply({"params": params, "batch_stats": bs}, arg,
-                           *extra_args, train=train,
-                           mutable=["batch_stats"])[0]
+                           *extra_args, mutable=["batch_stats"], **kw)[0]
         return tree_sum(out)
 
     if backward:
