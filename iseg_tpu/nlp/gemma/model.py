@@ -97,7 +97,8 @@ class GemmaAttention(nn.Module):
     layer_index: int = 0
 
     @nn.compact
-    def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
+    def __call__(self, x, positions, mask=None, cache=None, cache_index=None,
+                 context=None, cache_offset=0):
         cfg = self.config
         b, t, _ = x.shape
         h, kvh, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -112,6 +113,7 @@ class GemmaAttention(nn.Module):
         q = apply_rope_1d(q, positions, cfg.rope_max_wavelength)
         k = apply_rope_1d(k, positions, cfg.rope_max_wavelength)
         q = q * (d ** -0.5)
+
 
         ring = (
             self.seq_axis is not None and cache is None
@@ -138,7 +140,12 @@ class GemmaAttention(nn.Module):
                 batch_axis=self.data_axis, causal=True,
             )
         new_cache = None
-        if not ring:
+        if context:
+            # context-segment decode (VERDICT r3 #6): read-only cache
+            # segments + a small active cache — see _context_decode
+            out, new_cache = self._context_decode(
+                q, k, v, positions, cache, cache_index, context, cache_offset)
+        elif not ring:
             if self.seq_axis is not None and cache is None:
                 # SP: queries stay sequence-sharded; keys/values gather
                 # the full sequence (each device attends its query shard
@@ -199,6 +206,95 @@ class GemmaAttention(nn.Module):
                          name="attention_output")(out)
         return out, new_cache
 
+    def _context_decode(self, q, k, v, positions, cache, cache_index,
+                        context, cache_offset):
+        """Single-token decode against segmented KV storage
+        (VERDICT r3 #6 — the beam/contrastive cache-reorder fix).
+
+        ``context`` is a tuple of ``(segment, offset)`` pairs: read-only
+        stacked caches ``[B', L, 2, S_j, kvh, d]`` whose slot ``s`` holds
+        position ``offset + s``. A segment with ``B' < B`` is SHARED
+        across ``B // B'`` consecutive query rows (beams of one sample
+        share their prompt; contrastive candidates share their whole
+        history) — it is read once per SAMPLE, not once per beam, which
+        is where the bandwidth win over the monolithic cache comes from.
+        Context slots are masked STRICTLY below the query position; the
+        query's own k/v lives in the active ``cache`` (``[B, L, 2, S_a,
+        kvh, d]``, positions ``cache_offset + s``), written in place at
+        ``cache_index - cache_offset`` and masked ``<= position`` —
+        together the attended set is exactly the monolithic path's.
+
+        Softmax runs in fp32 over the concatenated per-segment logits, so
+        logits match the monolithic einsum bit-for-bit; only the output
+        accumulation order differs (per-segment partial sums in fp32)."""
+        cfg = self.config
+        b, t = q.shape[0], q.shape[1]
+        h, kvh, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        g = h // kvh
+        if t != 1:
+            raise ValueError(
+                f"context-segment decode is single-token (got T={t}); "
+                "prefills run through the monolithic cache path")
+        li = self.layer_index
+
+        # write this step's k/v into the active cache (in-place DUS)
+        local = cache_index - cache_offset
+        new_cache = jax.lax.dynamic_update_slice(
+            cache, k.astype(cache.dtype)[:, None, None],
+            (0, li, 0, local, 0, 0))
+        new_cache = jax.lax.dynamic_update_slice(
+            new_cache, v.astype(cache.dtype)[:, None, None],
+            (0, li, 1, local, 0, 0))
+        k_act = new_cache[:, li, 0]  # [B, S_a, kvh, d]
+        v_act = new_cache[:, li, 1]
+
+        qq = q[:, 0].reshape(b, kvh, g, d)
+        pos_q = positions[:, 0]  # [B]
+
+        logit_parts = []  # each [b, kvh, g, S_j] fp32, masked
+        value_parts = []  # (probs_slice -> out) closures' inputs
+        for seg, off in context:
+            ks = seg[:, li, 0]
+            vs = seg[:, li, 1]
+            bp, sj = ks.shape[0], ks.shape[1]
+            grp = b // bp
+            qr = qq.reshape(bp, grp, kvh, g, d)
+            lg = jnp.einsum("bGkgd,bskd->bGkgs", qr, ks,
+                            preferred_element_type=jnp.float32)
+            kv_pos = off + jnp.arange(sj)
+            m = kv_pos[None, None] < pos_q.reshape(bp, grp)[..., None]
+            lg = jnp.where(m[:, :, None, None], lg, jnp.float32(-1e9))
+            logit_parts.append(lg.reshape(b, kvh, g, sj))
+            value_parts.append((vs, bp, grp))
+
+        lga = jnp.einsum("bkgd,bskd->bkgs", qq, k_act,
+                         preferred_element_type=jnp.float32)
+        sa = k_act.shape[1]
+        kv_pos_a = cache_offset + jnp.arange(sa)
+        ma = kv_pos_a[None] <= pos_q[:, None]  # [b, S_a]
+        lga = jnp.where(ma[:, None, None], lga, jnp.float32(-1e9))
+        logit_parts.append(lga)
+
+        probs = jax.nn.softmax(
+            jnp.concatenate(logit_parts, axis=-1), axis=-1)
+        out = None
+        s0 = 0
+        for (vs, bp, grp) in value_parts:
+            sj = vs.shape[1]
+            pj = probs[..., s0:s0 + sj].astype(vs.dtype)
+            oj = jnp.einsum("bGkgs,bskd->bGkgd",
+                            pj.reshape(bp, grp, kvh, g, sj), vs,
+                            preferred_element_type=jnp.float32)
+            oj = oj.reshape(b, kvh, g, d)
+            out = oj if out is None else out + oj
+            s0 += sj
+        pa = probs[..., s0:].astype(v_act.dtype)
+        oa = jnp.einsum("bkgs,bskd->bkgd", pa, v_act,
+                        preferred_element_type=jnp.float32)
+        out = oa if out is None else out + oa
+        out = out.reshape(b, 1, h, d).astype(q.dtype)
+        return out, new_cache
+
 
 class GemmaDecoderBlock(nn.Module):
     """Pre-norm attention + pre-norm GeGLU FFN
@@ -213,7 +309,8 @@ class GemmaDecoderBlock(nn.Module):
     layer_index: int = 0
 
     @nn.compact
-    def __call__(self, x, positions, mask=None, cache=None, cache_index=None):
+    def __call__(self, x, positions, mask=None, cache=None, cache_index=None,
+                 context=None, cache_offset=0):
         cfg = self.config
         h = RMSNorm(epsilon=cfg.layer_norm_epsilon,
                     param_dtype=self.param_dtype, name="pre_attention_norm")(x)
@@ -222,7 +319,8 @@ class GemmaDecoderBlock(nn.Module):
             seq_axis=self.seq_axis, data_axis=self.data_axis,
             sp_mode=self.sp_mode, layer_index=self.layer_index,
             name="attention",
-        )(h, positions, mask=mask, cache=cache, cache_index=cache_index)
+        )(h, positions, mask=mask, cache=cache, cache_index=cache_index,
+          context=context, cache_offset=cache_offset)
         x = x + attn
         if self.seq_axis is not None and cache is None:
             # back to sequence-sharded for the (pointwise) FFN
@@ -288,8 +386,13 @@ class GemmaBackbone(nn.Module):
                                   name="final_normalization")
 
     def __call__(self, token_ids, positions=None, mask=None,
-                 caches=None, cache_index=None):
-        """token_ids [B, T] -> hidden [B, T, D] (+ updated caches)."""
+                 caches=None, cache_index=None, context=None,
+                 cache_offset=0):
+        """token_ids [B, T] -> hidden [B, T, D] (+ updated caches).
+
+        ``context``/``cache_offset`` (decode only): read-only KV
+        segments attended alongside the active ``caches`` — see
+        ``GemmaAttention._context_decode``."""
         cfg = self.config
         b, t = token_ids.shape
         if positions is None:
@@ -317,7 +420,9 @@ class GemmaBackbone(nn.Module):
             and caches is None
             and not jax.sharding.get_abstract_mesh().empty
         )
-        if mask is None and not ring_active:
+        if mask is None and not ring_active and not context:
+            # context-segment decode builds per-segment masks from
+            # positions inside the attention op
             kv_len = caches.shape[3] if caches is not None else t
             mask = causal_mask(t, positions, kv_len=kv_len)
 
@@ -327,7 +432,8 @@ class GemmaBackbone(nn.Module):
         # two full-cache copies per decode step; BENCH_NOTES round 3)
         for block in self.blocks:
             x, new_cache = block(x, positions, mask=mask, cache=caches,
-                                 cache_index=cache_index)
+                                 cache_index=cache_index, context=context,
+                                 cache_offset=cache_offset)
             if new_cache is not None:
                 caches = new_cache
         x = self.final_norm(x)

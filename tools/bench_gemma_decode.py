@@ -25,9 +25,10 @@ HBM_BW = 819e9  # bytes/s, TPU v5e
 
 
 def run(dtype, tag, batch=8, prompt_len=128, max_length=640,
-        int8_weights=False):
+        int8_weights=False, sampler=None):
     from iseg_tpu.nlp.gemma.causal_lm import GemmaCausalLM
     from iseg_tpu.nlp.gemma.config import GemmaConfig
+    from iseg_tpu.nlp.gemma import samplers as S
 
     cfg = GemmaConfig(
         vocab_size=32000, num_layers=12, num_heads=8, num_kv_heads=1,
@@ -48,11 +49,50 @@ def run(dtype, tag, batch=8, prompt_len=128, max_length=640,
 
         variables = {"params": quantize_tree(variables["params"])}
         bytes_per_param = 1  # weights read as int8; scales are negligible
-    kv_bytes = (batch * cfg.num_layers * 2 * max_length * cfg.num_kv_heads
-                * cfg.head_dim * jnp.dtype(dtype).itemsize)
+    # decode-row multiplier: beam expands the batch to B*nb rows;
+    # contrastive runs k candidate rows per step (VERDICT r3 next #6)
+    rows = batch
+    extra_cache_io = 0.0  # bytes/step beyond the attention read itself
+    if isinstance(sampler, S.BeamSampler):
+        rows = batch * sampler.num_beams
+    elif isinstance(sampler, S.ContrastiveSampler):
+        rows = batch * sampler.k
+    kv_row = (cfg.num_layers * 2 * max_length * cfg.num_kv_heads
+              * cfg.head_dim * jnp.dtype(dtype).itemsize)
+    kv_bytes = rows * kv_row
+    per_slot = kv_row / max_length
+    if isinstance(sampler, S.BeamSampler):
+        # segmented policy (causal_lm._generate_beam_impl): the per-step
+        # parent gather copies only the ACTIVE (generated-slots) cache,
+        # whose width grows by segment; the prompt segment is shared at
+        # [B] rows and never moves. Model the average active width.
+        seg = 256
+        ends, e = [], prompt_len + seg
+        while e < max_length:
+            ends.append(e)
+            e += seg
+        ends.append(max_length)
+        steps = widths = 0
+        prev = prompt_len
+        for end in ends:
+            widths += (end - prev) * (end - prompt_len)
+            steps += end - prev
+            prev = end
+        avg_active = widths / steps  # slots
+        extra_cache_io = 2 * rows * avg_active * per_slot
+        # attention reads: active at B*nb rows + shared prompt at B rows
+        kv_bytes = 2 * (rows * avg_active + batch * prompt_len) * per_slot
+    elif isinstance(sampler, S.ContrastiveSampler):
+        # shared-context policy: candidates read the [B]-row history once
+        # (plus their own 1-slot active cache); only the winner's slot
+        # slab is written back — no repeat/select of the full cache
+        extra_cache_io = 0.0
+        kv_bytes = batch * kv_row
     # decode reads all weights once per step + half the KV cache on average
-    bytes_per_step = n_params * bytes_per_param + kv_bytes / 2
+    ideal_bytes = n_params * bytes_per_param + kv_bytes / 2
+    bytes_per_step = ideal_bytes + extra_cache_io
     roof_tok_s = batch * HBM_BW / bytes_per_step
+    ideal_tok_s = batch * HBM_BW / ideal_bytes
 
     prompt = jnp.asarray(
         np.random.RandomState(0).randint(1, 32000, (batch, prompt_len)),
@@ -61,7 +101,7 @@ def run(dtype, tag, batch=8, prompt_len=128, max_length=640,
 
     def gen():
         return lm.generate(variables, prompt, lengths, max_length=max_length,
-                           temperature=0.0)
+                           temperature=0.0, sampler=sampler)
 
     out = gen()
     _ = np.asarray(out)  # compile + run
@@ -71,12 +111,18 @@ def run(dtype, tag, batch=8, prompt_len=128, max_length=640,
     dt = time.perf_counter() - t0
     new_tokens = (max_length - prompt_len) * batch
     tok_s = new_tokens / dt
-    print(json.dumps({
+    rec = {
         "config": tag, "params_M": round(n_params / 1e6, 1),
         "batch": batch, "decode_tok_per_sec": round(tok_s, 0),
         "roofline_tok_per_sec": round(roof_tok_s, 0),
         "pct_of_bw_roofline": round(tok_s / roof_tok_s * 100, 1),
-    }))
+    }
+    if extra_cache_io:
+        # what the same sampler would reach with zero reorder traffic
+        rec["roofline_no_reorder_tok_per_sec"] = round(ideal_tok_s, 0)
+        rec["pct_of_no_reorder_roofline"] = round(
+            tok_s / ideal_tok_s * 100, 1)
+    print(json.dumps(rec))
     return tok_s
 
 
@@ -84,9 +130,29 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/iseg_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    run(jnp.bfloat16, "bf16")
-    run(jnp.bfloat16, "w8a8", int8_weights="w8a8")
-    run(jnp.bfloat16, "int8-weights-dequant", int8_weights=True)
+    import argparse
+
+    from iseg_tpu.nlp.gemma import samplers as S
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", default="bf16,w8a8,int8,beam2,beam4,contrastive")
+    args = ap.parse_args()
+    rows = set(args.rows.split(","))
+    if "bf16" in rows:
+        run(jnp.bfloat16, "bf16")
+    if "w8a8" in rows:
+        run(jnp.bfloat16, "w8a8", int8_weights="w8a8")
+    if "int8" in rows:
+        run(jnp.bfloat16, "int8-weights-dequant", int8_weights=True)
+    # VERDICT r3 next #6: the beam/contrastive decode paths carry per-step
+    # cache-reorder traffic the greedy path does not — measure it
+    if "beam2" in rows:
+        run(jnp.bfloat16, "beam2", sampler=S.BeamSampler(num_beams=2))
+    if "beam4" in rows:
+        run(jnp.bfloat16, "beam4", sampler=S.BeamSampler(num_beams=4))
+    if "contrastive" in rows:
+        run(jnp.bfloat16, "contrastive",
+            sampler=S.ContrastiveSampler(k=5, alpha=0.6))
 
 
 if __name__ == "__main__":
