@@ -120,10 +120,79 @@ _SLOW_TESTS = {
     "test_fapn_head",
     "test_core_train_writes_scalars",
     "test_convnext_dilated_os16",
+    # round-4 re-bucketing (VERDICT r3 #7: fast tier < 300 s warm on this
+    # 1-vCPU host): every non-mesh test measured >= ~5 s warm-cache moves
+    # to the slow tier. All still run in the recorded gate (run_gate.py).
+    "test_small_offsets_keep_fast_path",
+    "test_hrnet_w_fold_matches_plain_path",
+    "test_second_train_call_reuses_logger_cleanly",
+    "test_pyramid_heads_select_by_resolution_for_hrnet",
+    "test_convnext_tiny_map_full_coverage",
+    "test_segmanaged_aux_outputs",
+    "test_load_pretrained_name_map_accepts_unwrapped_paths",
+    "test_vit_sam_has_no_class_token",
+    "test_xception65_output_stride_16",
+    "test_fused_gate_defers_to_configured_reduction",
+    "test_resnet50_map_full_coverage",
+    "test_export_roundtrip_matches_live_model",
+    "test_context_decode_matches_monolithic_forward",
+    "test_ragged_prompts_fill_pad_gap_and_match_unpadded",
+    "test_beam_improves_or_matches_likelihood",
+    "test_dcnv3_shapes_and_finite",
+    "test_dcnv2_gradients_flow",
+    "test_calibration_tap_stays_out_of_intermediates",
+    "test_evaluate_with_loss",
+    "test_mlp_mixer_b16_map_full_coverage",
+    "test_vit_base_map_full_coverage",
+    "test_eva02_tiny_map_full_coverage",
+    "test_export_multi_scale_flip",
+    "test_enable_ema_on_resume_from_pre_ema_checkpoint",
+    "test_ema_params_track_and_eval",
+    "test_calibrate_on_backbone",
+    "test_checkpoint_save_restore",
+    "test_convnext_v2_tiny_map_full_coverage",
+    "test_resnet101_map_full_coverage",
+    "test_restore_ema_checkpoint_into_non_ema_state",
+    "test_quantize_structure_and_error",
+    "test_wfolded_block_gradients_match",
+    "test_mlp_mixer",
+    "test_score_close_to_dense",
+    "test_causal_lm_scores_real_tokens",
+}
+
+# Modules whose tests exercise the 8-virtual-device mesh (collectives,
+# GSPMD sharding, pod-style data partitioning, true multi-process runs).
+# They form the ``mesh`` tier (VERDICT r3 #7): deselected from the fast
+# inner loop, run + recorded as their own gate section.
+_MESH_MODULES = {
+    "test_dp_equivalence",
+    "test_distributed_metrics",
+    "test_sharded_sliding",
+    "test_fsdp",
+    "test_moe",
+    "test_pipeline",
+    "test_ring_attention",
+    "test_sequence_parallel",
+    "test_resident",
+    "test_resident_capacity",
+    "test_shards",
+    "test_loader_parallel",
+    "test_multiprocess",
+}
+
+# Individual mesh-bound tests living in otherwise single-device modules.
+_MESH_TESTS = {
+    "test_tp_layout_shards_over_model_axis",
+    "test_core_train_sharded_epoch",
+    "test_sharded_windows_with_real_model",
+    "test_sharded_step_matches_single_device",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.name.split("[")[0] in _SLOW_TESTS:
+        name = item.name.split("[")[0]
+        if name in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+        if item.module.__name__ in _MESH_MODULES or name in _MESH_TESTS:
+            item.add_marker(pytest.mark.mesh)

@@ -21,7 +21,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SECTIONS = {
     # name: (argv, timeout_s)
+    # Tiers (VERDICT r3 #7): ``fast`` is the sub-5-minute inner loop
+    # (single-jit / pure-numpy tests); ``mesh`` is the 8-virtual-device
+    # suites (collectives, GSPMD, pod data, multi-process); ``slow`` is
+    # convergence/big-model; ``parity`` drives the reference's TF code.
     "fast": ([sys.executable, "-m", "pytest", "tests/", "-q"], 2400),
+    "mesh": ([sys.executable, "-m", "pytest", "tests/", "-q",
+              "-m", "mesh and not slow", "-p", "no:cacheprovider"], 2400),
     "parity": ([sys.executable, "-m", "pytest", "tests/", "-q",
                 "-m", "parity", "-p", "no:cacheprovider"], 3600),
     "slow": ([sys.executable, "-m", "pytest", "tests/", "-q",
@@ -47,7 +53,7 @@ def parse_pytest_summary(output: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "GATE.json"))
-    ap.add_argument("--sections", default="fast,parity,slow,dryrun")
+    ap.add_argument("--sections", default="fast,mesh,parity,slow,dryrun")
     args = ap.parse_args()
 
     results = {}
