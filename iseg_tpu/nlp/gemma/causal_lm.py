@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from iseg_tpu.nlp.gemma.config import GemmaConfig
 from iseg_tpu.nlp.gemma.model import GemmaBackbone, causal_mask
+from iseg_tpu.ops.pallas.cache_gather import beam_cache_gather
 
 
 @dataclasses.dataclass
@@ -393,9 +394,13 @@ class GemmaCausalLM:
                 tokens2, tok[..., None], (0, 0, i)
             )
             # reorder ONLY the written generated slots by parent beam —
-            # the shared prompt segment never moves
+            # the shared prompt segment never moves. The reorder is a
+            # whole-slab row permutation, so it goes through the Pallas
+            # slab-copy gather (ops/pallas/cache_gather.py) on TPU —
+            # XLA's best lowering of the same gather runs at ~25% of the
+            # reorder floor (tools/probe_beam_gather.py).
             act_bnb = active.reshape(b, nb, *active.shape[1:])
-            act2 = jax.vmap(lambda c, idx: c[idx])(act_bnb, parent)
+            act2 = beam_cache_gather(act_bnb, parent)
             act2 = act2.reshape(b * nb, *active.shape[1:])
 
             positions_i = jnp.full((b * nb, 1), i, jnp.int32)

@@ -117,6 +117,18 @@ def main():
 
     timed("masked-sum select", select)
 
+    # 6. Pallas slab-copy gather: scalar-prefetched parent indices drive
+    # the BlockSpec index_map, so every grid step is a straight DMA block
+    # copy from the parent row (ops/pallas/cache_gather.py).
+    from iseg_tpu.ops.pallas.cache_gather import beam_cache_gather
+
+    timed("pallas slab gather", beam_cache_gather)
+
+    out_ref = jax.vmap(lambda cc, ii: cc[ii])(cache, parents[0])
+    out_pl = beam_cache_gather(cache, parents[0])
+    assert jnp.array_equal(out_ref, out_pl), "pallas gather mismatch"
+    print("pallas gather bit-exact vs vmap gather: ok")
+
 
 if __name__ == "__main__":
     main()
