@@ -38,19 +38,22 @@ class DCNv2(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, offset_input=None, train: bool = False):
         n, h, w, c = x.shape
         k = self.kernel_size
         kk = k * k
 
         # offsets + modulation from a regular conv (zero-init so the layer
-        # starts as a plain conv, reference behavior)
+        # starts as a plain conv, reference behavior). When offset_input is
+        # given, the offset conv reads it instead of x — the reference's
+        # use_custom_offset mode (layers/dcn_v2.py:64-67,270-273, used by
+        # FaPN's FeatureAlignment, layers/fapn.py:57,74).
         off_mask = nn.Conv(
             3 * kk, (k, k), strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation), padding="SAME",
             kernel_init=nn.initializers.zeros_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="offset_conv",
-        )(x)
+        )(x if offset_input is None else offset_input)
         offsets = off_mask[..., : 2 * kk].reshape(n, off_mask.shape[1],
                                                   off_mask.shape[2], kk, 2)
         mask = nn.sigmoid(off_mask[..., 2 * kk :])  # [N, Ho, Wo, K*K]

@@ -8,9 +8,19 @@ output first) — ``SegManaged`` attaches the logits convs.
 
 from iseg_tpu.nn.heads.simpledecoder import SimpleDecoder
 from iseg_tpu.nn.heads.aspp import ASPP, AtrousSpatialPyramidPooling
-from iseg_tpu.nn.heads.fpn import FeaturePyramidNetwork, SemanticFPN
+from iseg_tpu.nn.heads.fpn import (
+    FeaturePyramidNetwork,
+    SemanticFPN,
+    SemanticPyramidNetworkBlockV1,
+    SemanticPyramidNetworkBlockV2,
+)
 from iseg_tpu.nn.heads.jpu import JPU, JointPyramidUpsampling
-from iseg_tpu.nn.heads.fapn import FAPN, FeatureAlignedPyramidNet
+from iseg_tpu.nn.heads.fapn import (
+    FAPN,
+    FeatureAlignedPyramidNet,
+    FeatureAlignment,
+    FeatureSelectionModule,
+)
 from iseg_tpu.nn.heads.nasfpn import NASFPN
 
 __all__ = [
@@ -19,6 +29,10 @@ __all__ = [
     "AtrousSpatialPyramidPooling",
     "FeaturePyramidNetwork",
     "SemanticFPN",
+    "SemanticPyramidNetworkBlockV1",
+    "SemanticPyramidNetworkBlockV2",
+    "FeatureSelectionModule",
+    "FeatureAlignment",
     "JPU",
     "JointPyramidUpsampling",
     "FAPN",

@@ -45,8 +45,10 @@ def test_efficientnetb2_width_scaling():
 def test_fpn_pyramid():
     from iseg_tpu.nn.heads.fpn import FeaturePyramidNetwork
 
+    # reference semantics (fpn.py:44-60): the coarsest endpoint passes
+    # through RAW, so it must already carry ``filters`` channels
     eps = [jnp.zeros((1, 32, 32, 16)), jnp.zeros((1, 16, 16, 32)),
-           jnp.zeros((1, 8, 8, 64)), jnp.zeros((1, 4, 4, 128))]
+           jnp.zeros((1, 8, 8, 64)), jnp.zeros((1, 4, 4, 24))]
     head = FeaturePyramidNetwork(filters=24, num_levels=4)
     variables = head.init(jax.random.PRNGKey(0), eps)
     outs = head.apply(variables, eps)
@@ -73,8 +75,9 @@ def test_jpu_head():
     head = JointPyramidUpsampling(filters=32)
     variables = head.init(jax.random.PRNGKey(0), eps)
     out = head.apply(variables, eps)
-    # output at the resolution of endpoints[-3], channels = 4 branches
-    assert out.shape == (1, 16, 16, (32 // 4 * 2) * 4)
+    # output at the resolution of endpoints[-3]; 4 dilation branches of
+    # ``width`` channels each concat to 4*width (reference jpu.py:38-90)
+    assert out.shape == (1, 16, 16, 4 * 32)
 
 
 def test_pyramid_heads_select_by_resolution_for_hrnet():
