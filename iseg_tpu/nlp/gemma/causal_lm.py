@@ -395,10 +395,10 @@ class GemmaCausalLM:
             )
             # reorder ONLY the written generated slots by parent beam —
             # the shared prompt segment never moves. The reorder is a
-            # whole-slab row permutation, so it goes through the Pallas
-            # slab-copy gather (ops/pallas/cache_gather.py) on TPU —
-            # XLA's best lowering of the same gather runs at ~25% of the
-            # reorder floor (tools/probe_beam_gather.py).
+            # whole-slab row permutation routed through
+            # ops/pallas/cache_gather.py: the XLA vmap gather by default
+            # (measured fastest end-to-end on v5e), the Pallas slab-copy
+            # kernel behind ISEG_CACHE_GATHER=pallas.
             act_bnb = active.reshape(b, nb, *active.shape[1:])
             act2 = beam_cache_gather(act_bnb, parent)
             act2 = act2.reshape(b * nb, *active.shape[1:])

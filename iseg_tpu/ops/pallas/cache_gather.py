@@ -1,17 +1,23 @@
 """Pallas TPU kernel: whole-slab KV-cache row gather for beam decode.
 
-Why a kernel: the beam step reorders the active KV cache by parent-beam
-index every step — ``out[b, i] = cache[b, parent[b, i]]`` where each
-``[b, i]`` row is a multi-megabyte contiguous slab.  This is pure data
-movement (one read + one write of the slab bytes), but no XLA
-formulation reaches that floor: ``tools/probe_beam_gather.py`` measures
-the best lowering (vmap row-index) at ~26-66% of a materialized plain
-copy of the same array, because XLA lowers the row index to a general
-dynamic-gather rather than a block copy.  Here the parent indices are
-scalar-prefetched (``PrefetchScalarGridSpec``), so the grid's BlockSpec
-``index_map`` reads them directly and every grid step is a straight
-VMEM block copy from the parent row — DMA at copy speed, no gather
-lowering at all.
+Why a kernel (hypothesis): the beam step reorders the active KV cache by
+parent-beam index every step — ``out[b, i] = cache[b, parent[b, i]]``
+where each ``[b, i]`` row is a multi-megabyte contiguous slab.  This is
+pure data movement, and ``tools/probe_beam_gather.py`` measured XLA's
+best lowering (vmap row-index) at ~26-66% of a materialized plain copy,
+so a scalar-prefetched block-copy kernel (``PrefetchScalarGridSpec``;
+every grid step is a straight VMEM block copy from the parent row)
+looked like a win.
+
+MEASURED on TPU v5e (round 5, ``tools/check_cache_gather_tpu.py`` +
+``tools/bench_gemma_decode.py`` kernel-on/off A/B): it is NOT a win.
+Isolated scan-carry reorder of the 75.5 MB beam4 active cache: kernel
+0.84x the XLA gather (both far off the copy floor — the reorder is
+latency/dispatch-bound at these slab counts, not DMA-bound).  End-to-end
+decode tok/s: beam2 +0.9%, beam4 -0.4%, contrastive -2.2% — noise.  The
+XLA gather is therefore the DEFAULT TPU path; the kernel is retained,
+bit-exact and hardware-verified, behind ``ISEG_CACHE_GATHER=pallas``
+for re-evaluation on other geometries/generations.
 
 Used by :meth:`iseg_tpu.nlp.gemma.causal_lm.GemmaCausalLM` beam decode
 (segmented cache policy).  Decode-only (no gradient).  Falls back to the
@@ -21,6 +27,8 @@ XLA vmap gather off-TPU or when the slab doesn't tile (see
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -28,16 +36,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 
+# Gather implementation on TPU: "xla" (default — measured faster or
+# equal at every benched geometry, see module docstring) or "pallas"
+# (the block-copy kernel, kept for re-evaluation / A-B runs).
+_USE_PALLAS = os.environ.get("ISEG_CACHE_GATHER", "xla") == "pallas"
+
 
 def _xla_gather(cache, parent):
     return jax.vmap(lambda c, idx: c[idx])(cache, parent)
 
 
-def _choose_block(s: int) -> int:
-    """Largest divisor of ``s`` that is <= 2048 and a sublane multiple."""
+def _sublane_tile(dtype) -> int:
+    """TPU/Mosaic native sublane tile for this dtype: (8,128) for 4-byte,
+    (16,128) for 2-byte (bf16 — the default cache dtype), (32,128) for
+    1-byte.  Splitting the sublane dim at offsets unaligned to this tile
+    is rejected by Mosaic at compile time on hardware."""
+    return 32 // jnp.dtype(dtype).itemsize
+
+
+def _choose_block(s: int, dtype) -> int:
+    """Largest divisor of ``s`` that is <= 2048 and, whenever it splits
+    ``s`` (cs < s), a multiple of the dtype's sublane tile."""
+    tile = _sublane_tile(dtype)
+    if s <= 2048:
+        return s  # single block: no sublane split, no alignment constraint
     best = 0
-    for cs in range(min(s, 2048), 0, -1):
-        if s % cs == 0 and cs % 8 == 0:
+    for cs in range(2048, 0, -1):
+        if s % cs == 0 and cs % tile == 0:
             best = cs
             break
     return best
@@ -48,12 +73,17 @@ def _kernel(parent_ref, in_ref, out_ref):
     out_ref[...] = in_ref[...]
 
 
-def beam_cache_gather(cache, parent, interpret=None):
+def beam_cache_gather(cache, parent, interpret=None, backend=None):
     """``out[b, i] = cache[b, parent[b, i]]`` at slab-copy speed.
 
     cache: ``[B, NB, *slab]`` (any trailing shape whose element count is
     a lane multiple); parent: ``[B, NB]`` integer parent-beam indices.
     Exact (a permutation of rows — bit-identical to the XLA gather).
+
+    ``backend``: platform the computation will be staged for.  Defaults
+    to ``jax.default_backend()`` — a trace-time global, NOT the lowering
+    context, so callers jitting for a non-default device (or AOT-lowering
+    cross-platform) must pass it explicitly.
     """
     b, nb = cache.shape[:2]
     slab = cache.shape[2:]
@@ -64,14 +94,14 @@ def beam_cache_gather(cache, parent, interpret=None):
         # Off-TPU the XLA gather is the right lowering (interpret-mode
         # Pallas inside a decode scan is orders slower on CPU); pass
         # interpret=True explicitly to exercise the kernel in tests.
-        if jax.devices()[0].platform != "tpu":
+        if not _USE_PALLAS or (backend or jax.default_backend()) != "tpu":
             return _xla_gather(cache, parent)
         interpret = False
     if flat % _LANE != 0:
         return _xla_gather(cache, parent)
     s = flat // _LANE
-    cs = _choose_block(s)
-    if cs < 64:  # degenerate tiling — the XLA gather beats a tiny grid
+    cs = _choose_block(s, cache.dtype)
+    if cs < 64:  # degenerate/unaligned tiling — XLA gather beats a tiny grid
         return _xla_gather(cache, parent)
 
     x = cache.reshape(b, nb, s, _LANE)

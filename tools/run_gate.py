@@ -34,6 +34,10 @@ SECTIONS = {
               "-m", "slow", "-p", "no:cacheprovider"], 3600),
     "dryrun": ([sys.executable, "-c",
                 "import __graft_entry__ as g; g.dryrun_multichip(8)"], 1200),
+    # ``tpu``: compiled-Mosaic checks that need the real chip (round-4
+    # advisor: the Pallas cache-gather's multi-block lowering was only
+    # interpret-verified). Each script self-SKIPs (exit 0) off-TPU.
+    "tpu": ([sys.executable, "tools/check_cache_gather_tpu.py"], 1200),
 }
 
 def parse_pytest_summary(output: str):
@@ -53,7 +57,7 @@ def parse_pytest_summary(output: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "GATE.json"))
-    ap.add_argument("--sections", default="fast,mesh,parity,slow,dryrun")
+    ap.add_argument("--sections", default="fast,mesh,parity,slow,dryrun,tpu")
     args = ap.parse_args()
 
     results = {}
