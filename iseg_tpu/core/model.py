@@ -78,6 +78,7 @@ class SegFoundation(SegBase):
     use_ohem: bool = False
     ohem_thresh: float = 0.7
     ohem_min_kept: int = 100000
+    ohem_ref_exact: bool = False  # the reference's exact WIP selector
     use_focal_loss: bool = False
     focal_loss_gamma: float = 2.0
     focal_loss_alpha: Optional[float] = 0.25
@@ -114,7 +115,9 @@ class SegFoundation(SegBase):
         ``output_N``, OHEM applied to the main output only)."""
         weights = self.custom_losses_weights()
         ohem_fn = (
-            get_ohem_fn(self.ohem_thresh, self.ohem_min_kept) if self.use_ohem else None
+            get_ohem_fn(self.ohem_thresh, self.ohem_min_kept,
+                        ref_exact=self.ohem_ref_exact)
+            if self.use_ohem else None
         )
         use_fused = (
             self.fuse_upsample_loss

@@ -16,7 +16,7 @@ labeled transforms, so the whole update stays a single fused XLA program.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Mapping, Optional, Sequence
+from typing import Any, Callable, Mapping, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,8 @@ NO_WEIGHT_DECAY_PATTERNS = (
     "gamma",
     "beta",
     "logit_scale",
+    "logits",           # the reference excludes logits convs (:23)
+    "patch_embed",
 )
 
 
@@ -193,6 +195,101 @@ def layerwise_decay_multipliers(
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+class KerasAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+    nu_hat: Any  # None unless amsgrad
+
+
+def keras_adamw(
+    schedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-7,
+    weight_decay: float = 0.0,
+    wd_mask=None,
+    multiplier_tree=None,
+    amsgrad: bool = False,
+) -> optax.GradientTransformation:
+    """The EXACT Keras-3 Adam/AdamW/AMSGrad step, as one terminal transform
+    (produces the final signed update — no ``scale_by_learning_rate``
+    after it).
+
+    The reference trains through ``AdamW_EXT``
+    (``optimizers/modern_k3/adamw.py:6-47``) on the Keras-3 base
+    optimizer. Two places where that differs from the optax chain:
+
+    * eps placement: Keras computes ``lr*mult * a_t * m / (sqrt(v)+eps)``
+      with ``a_t = sqrt(1-b2^t)/(1-b1^t)`` — equivalent to optax's
+      ``m_hat/(sqrt(v_hat)+eps_hat)`` only with a step-DEPENDENT
+      ``eps_hat = eps/sqrt(1-b2^t)``.
+    * decoupled weight decay uses the BASE scheduled lr, NOT the
+      per-variable ``lr_multiplier`` (``_apply_weight_decay`` in
+      keras base_optimizer: ``w -= w*wd*lr`` before ``update_step``,
+      exclusions via ``exclude_from_weight_decay`` —
+      ``utils/train_utils.py:40-72``).
+
+    Trajectory parity with the reference's AdamW path requires both.
+    """
+
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return KerasAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=z,
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu_hat=(jax.tree_util.tree_map(jnp.zeros_like, params)
+                    if amsgrad else None),
+        )
+
+    def update_fn(updates, state, params=None):
+        if weight_decay and params is None:
+            raise ValueError("keras_adamw with weight_decay needs params")
+        t = state.count + 1
+        lr = jnp.asarray(schedule(state.count), jnp.float32)
+        tf_ = t.astype(jnp.float32)
+        bias = jnp.sqrt(1.0 - b2 ** tf_) / (1.0 - b1 ** tf_)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: m + (g - m) * (1.0 - b1), state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: v + (g * g - v) * (1.0 - b2), state.nu, updates)
+        if amsgrad:
+            nu_hat = jax.tree_util.tree_map(jnp.maximum, state.nu_hat, nu)
+            denom_tree = nu_hat
+        else:
+            nu_hat = None
+            denom_tree = nu
+
+        mults = None
+        if multiplier_tree is not None:
+            mults = {p: m for p, m in
+                     jax.tree_util.tree_flatten_with_path(multiplier_tree)[0]}
+        masks = None
+        if wd_mask is not None:
+            masks = {p: m for p, m in
+                     jax.tree_util.tree_flatten_with_path(wd_mask)[0]}
+
+        def step(path, m, v, w):
+            mult = mults.get(path, 1.0) if mults is not None else 1.0
+            u = (lr * mult * bias) * m / (jnp.sqrt(v) + eps)
+            if weight_decay and (masks is None or masks.get(path, True)):
+                u = u + lr * weight_decay * w
+            return -u
+
+        if params is None:
+            params = jax.tree_util.tree_map(lambda m: 0.0, mu)
+        flat_mu, treedef = jax.tree_util.tree_flatten_with_path(mu)
+        flat_v = jax.tree_util.tree_leaves(denom_tree)
+        flat_w = jax.tree_util.tree_leaves(params)
+        out = [step(path, m, v, w)
+               for (path, m), v, w in zip(flat_mu, flat_v, flat_w)]
+        new_updates = jax.tree_util.tree_unflatten(treedef, out)
+        return new_updates, KerasAdamState(t, mu, nu, nu_hat)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def scrub_nonfinite() -> optax.GradientTransformation:
     """Replace NaN/Inf gradients with zero before the update
     (reference ``optimizers/modern/adamw.py:63-73``)."""
@@ -231,6 +328,7 @@ def get_optimizer(
     extra_no_decay: Sequence[str] = (),
     scrub_nan_grads: bool = True,
     keras_momentum: bool = False,
+    keras_adam: bool = False,
     poly_ref_exact: bool = False,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
     """Build the optimizer + schedule (reference ``core_optimizer.py:18``).
@@ -289,6 +387,20 @@ def get_optimizer(
                     weight_decay, mask=lambda p: weight_decay_mask(p, extra_no_decay)
                 )
             )
+    elif name in ("adam", "amsgrad", "adamw") and keras_adam:
+        # the reference's exact Keras-3 update (see keras_adamw docstring);
+        # lr schedule, multipliers, and decoupled base-lr decay are all
+        # inside the one transform — nothing else goes on the chain
+        chain.append(keras_adamw(
+            schedule, b1=adam_beta1, b2=adam_beta2, eps=adam_epsilon,
+            weight_decay=weight_decay if name == "adamw" else 0.0,
+            wd_mask=(weight_decay_mask(params, extra_no_decay)
+                     if (weight_decay and name == "adamw") else None),
+            multiplier_tree=(lr_multiplier_tree(params, lr_multipliers)
+                             if lr_multipliers else None),
+            amsgrad=name == "amsgrad",
+        ))
+        return optax.chain(*chain), schedule
     elif name in ("adam", "amsgrad"):
         scale_by = (optax.scale_by_adam if name == "adam"
                     else optax.scale_by_amsgrad)

@@ -79,7 +79,11 @@ def shims():
     norm_mod.set_bn_momentum(None)
 
 
-def _make_ref_model(backbone_name, head, low_idx, size, output_stride):
+def _make_ref_model(backbone_name, head, low_idx, size, output_stride,
+                    head_results=None, **model_kwargs):
+    """``head_results(self, endpoints, training)`` overrides the default
+    single-output head call (used by the aux-loss trajectory tests);
+    ``model_kwargs`` pass through to SegFoundation (num_aux_loss, ...)."""
     import keras  # noqa: F401
     from iseg.layers.core_model_ext import SegManaged as RefSegManaged
 
@@ -91,6 +95,8 @@ def _make_ref_model(backbone_name, head, low_idx, size, output_stride):
 
         def compute_head_results(self, head_inputs, training=None):
             eps = head_inputs
+            if head_results is not None:
+                return head_results(self, eps, training)
             if self._low_idx is None:
                 return [self.head(eps[-1], training=training)]
             return [self.head([eps[self._low_idx], eps[-1]],
@@ -104,9 +110,10 @@ def _make_ref_model(backbone_name, head, low_idx, size, output_stride):
     model = RefSegModel(
         backbone_name=backbone_name,
         output_stride=output_stride,
-        num_class=NC,
+        num_class=model_kwargs.pop("num_class", NC),
         build_input_size=(size, size),
         use_dict_outputs=True,
+        **model_kwargs,
     )
     model(tf.zeros((BATCH, size, size, 3)), training=False)
     return model
