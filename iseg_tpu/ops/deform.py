@@ -92,7 +92,14 @@ def deform_dense_local(
     kk = k * k
     r = max_offset
     half = (k - 1) // 2
-    lim = half + r + 1  # max reach of tap + clamped offset, +1 for bilinear
+    # Displacement support: |tap + clamped_offset| <= half + r, and the
+    # bilinear hat tri(t) = max(0, 1-|t|) is EXACTLY zero at |t| >= 1, so
+    # o = +-(half+r+1) can never receive weight (tri((half+r) - (half+r+1))
+    # = tri(-1) = 0 even at the clamp extreme). lim = half + r is
+    # bit-exact and shrinks the displacement loop (2*lim+1)^2 from 81 to
+    # 49 terms at the default K=3, r=2 — verified 0.0 max-abs diff vs the
+    # old half+r+1 loop including integer-extreme offsets (round 5).
+    lim = half + r
 
     off = jnp.clip(offsets.astype(jnp.float32), -r, r)
     tap = (jnp.arange(k, dtype=jnp.float32) - half)
@@ -140,7 +147,7 @@ def deform_dense_local_taps(
     kk = k * k
     r = max_offset
     half = (k - 1) // 2
-    lim = half + r + 1
+    lim = half + r  # tri() is exactly 0 beyond this; see deform_dense_local
 
     off = jnp.clip(offsets.astype(jnp.float32), -r, r)
     tap = (jnp.arange(k, dtype=jnp.float32) - half)

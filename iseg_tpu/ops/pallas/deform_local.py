@@ -77,7 +77,8 @@ def _dense_local_pallas_impl(x, offsets, modulation, kernel_size, max_offset,
     kk = k * k
     r = max_offset
     half = (k - 1) // 2
-    lim = half + r + 1
+    # tri() is exactly zero beyond half+r (see ops.deform.deform_dense_local)
+    lim = half + r
     ko = 2 * lim + 1
 
     off = jnp.clip(offsets.astype(jnp.float32), -r, r)
