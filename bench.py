@@ -241,9 +241,20 @@ def main():
         "min": round(rates[0], 2),
         "max": round(rates[-1], 2),
     }
-    if on_tpu:  # the measured TF ratio is a TPU-geometry comparison
+    if on_tpu:
+        # two distinct baseline readings, labeled (VERDICT r4 weak #2):
+        #   vs_baseline          — same-host XLA:CPU ratio vs the reference's
+        #                          own TF model (BASELINE_MEASURED.json;
+        #                          128^2 batch-2 proxy geometry, CPU backend)
+        #   vs_tf_estimate       — absolute ratio vs the PROVISIONAL
+        #                          100 img/s TF-on-v5e estimate (bench.py:25);
+        #                          replace when a measured TF TPU number exists
         row["vs_baseline"] = round(
             measured_speedup_estimate(img_per_sec_per_chip), 3)
+        row["vs_baseline_basis"] = "same_host_xla_cpu_ratio_proxy"
+        row["vs_tf_estimate"] = round(
+            img_per_sec_per_chip / TF_BASELINE_IMG_PER_SEC, 3)
+        row["vs_tf_estimate_basis"] = "provisional_100_img_s_tf_v5e_estimate"
     print(json.dumps(row))
 
 

@@ -90,6 +90,27 @@ def install_keras2_shims():
 
     Dense.__init__ = dense_init
 
+    # Reference bug under keras 3: RandomErasingAugment draws its area
+    # count with ``keras.random.uniform([], ..., dtype="int32")``
+    # (random_erasing_augment.py:91) — keras3's random.uniform rejects
+    # integer dtypes (keras2's backend.random_uniform allowed them).
+    # Route integer draws to tf.random.uniform (identical semantics:
+    # maxval-exclusive) so the reference's own erase recipe can run.
+    import keras.random as kr_mod
+
+    _k_uniform = kr_mod.uniform
+
+    def k_uniform(shape, minval=0.0, maxval=1.0, dtype=None, seed=None):
+        import tensorflow as tf
+
+        if dtype is not None and not keras.backend.is_float_dtype(dtype):
+            return tf.random.uniform(
+                shape, minval=minval, maxval=maxval, dtype=dtype, seed=seed)
+        return _k_uniform(shape, minval=minval, maxval=maxval, dtype=dtype,
+                          seed=seed)
+
+    kr_mod.uniform = k_uniform
+
 
 def _relax_required_training(mod):
     for nm in dir(mod):
