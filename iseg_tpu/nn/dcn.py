@@ -124,6 +124,16 @@ class DCNv3(nn.Module):
     #   runs, or re-run calibrate_dcn_sampling periodically.
     sampling: str = "gather"
     max_local_offset: int = 2
+    # Fence the group-fold relayouts and the sampling loop from each other
+    # with jax.lax.optimization_barrier. Without the fences XLA fuses the
+    # fold transposes INTO the dense-local displacement loop — re-running
+    # the relayout for every one of the 49 shifted reads — and fuses the
+    # loop into upstream/downstream GEMM fusions; measured on v5e
+    # (tools/probe_internimage.py cliff section): the stage-3 block's
+    # sampling goes 3.4 -> 1.2 ms and the full module math 7.2 -> 5.1 ms
+    # with the fences; the module itself measured 15.9 ms unfenced. The
+    # barrier is semantically an identity, so numerics are bit-identical.
+    fusion_barriers: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -165,14 +175,6 @@ class DCNv3(nn.Module):
             modul.reshape(n, ho, wo, g, kk).astype(jnp.float32), axis=-1
         ).astype(v.dtype)
 
-        # fold groups into the batch dim: ONE sampling op covers every group
-        # (a per-group python loop blows up the HLO and compile time on
-        # deep InternImage stacks)
-        vg = v.reshape(n, h, w, g, gc).transpose(0, 3, 1, 2, 4)
-        vg = vg.reshape(n * g, h, w, gc)
-        off_b = offsets.transpose(0, 3, 1, 2, 4, 5).reshape(n * g, ho, wo, kk, 2)
-        mod_b = modul.transpose(0, 3, 1, 2, 4).reshape(n * g, ho, wo, kk)
-
         sampling = self.sampling
         if sampling not in ("auto", "gather", "gather_centered",
                             "dense_local", "dense_local_ref"):
@@ -200,33 +202,65 @@ class DCNv3(nn.Module):
         if (not self.is_initializing()
                 and self.is_mutable_collection("dcn_calibration")
                 and h == w and local_ok):
-            from iseg_tpu.ops.deform import dcnv3_ref_effective_offsets
-
-            eff_stat = dcnv3_ref_effective_offsets(
-                off_b, h, w, kernel_size=k, offset_scale=self.offset_scale)
-            self.sow("dcn_calibration", "dcn_offset_mag",
-                     jnp.max(jnp.abs(eff_stat.astype(jnp.float32))))
-
-        if sampling == "dense_local":
-            from iseg_tpu.ops.deform import deform_dense_local
-
-            out = deform_dense_local(
-                vg, off_b * self.offset_scale, mod_b, kernel_size=k,
-                max_offset=self.max_local_offset,
-            )  # [N*G, Ho, Wo, gc]
-        elif sampling == "dense_local_ref":
             from iseg_tpu.ops.deform import (
-                dcnv3_ref_effective_offsets,
-                deform_dense_local,
+                dcnv3_ref_effective_offsets_grouped,
             )
 
-            eff = dcnv3_ref_effective_offsets(
-                off_b, h, w, kernel_size=k, offset_scale=self.offset_scale)
-            out = deform_dense_local(
-                vg.transpose(0, 2, 1, 3), eff, mod_b, kernel_size=k,
-                max_offset=self.max_local_offset,
-            )  # [N*G, Ho, Wo, gc] (already output-indexed, no re-transpose)
-        elif sampling == "gather_centered":
+            eff_dy_s, eff_dx_s = dcnv3_ref_effective_offsets_grouped(
+                offsets, h, w, kernel_size=k, offset_scale=self.offset_scale)
+            self.sow("dcn_calibration", "dcn_offset_mag",
+                     jnp.maximum(jnp.max(jnp.abs(eff_dy_s)),
+                                 jnp.max(jnp.abs(eff_dx_s))))
+
+        if sampling in ("dense_local", "dense_local_ref"):
+            # GROUPED dense-local path: no group-fold relayout. The fold's
+            # transposes are never materialized by XLA — layout assignment
+            # defers them into the 49-term loop so every shifted read pays
+            # the relayout (probe_internimage: stage-3 module ran 15x its
+            # parts sum). Values stay [N, H, W, G*gc]; only dense_local_ref
+            # needs ONE spatial transpose (its output-index quirk), fenced
+            # so it materializes once.
+            m_flat = modul.reshape(n, ho, wo, g * kk)
+            if sampling == "dense_local":
+                from iseg_tpu.ops.deform import dense_local_flat
+
+                sc = self.offset_scale
+                off_dy = offsets[..., 0].reshape(n, ho, wo, g * kk) * sc
+                off_dx = offsets[..., 1].reshape(n, ho, wo, g * kk) * sc
+                out = dense_local_flat(
+                    v, off_dy, off_dx, m_flat, g, k,
+                    self.max_local_offset,
+                )  # [N, Ho, Wo, filters]
+            else:
+                from iseg_tpu.ops.deform import (
+                    dcnv3_ref_effective_offsets_grouped,
+                    dense_local_flat,
+                )
+
+                eff_dy, eff_dx = dcnv3_ref_effective_offsets_grouped(
+                    offsets, h, w, kernel_size=k,
+                    offset_scale=self.offset_scale)
+                vt = v.transpose(0, 2, 1, 3)
+                if self.fusion_barriers:
+                    vt, eff_dy, eff_dx, m_flat = jax.lax.optimization_barrier(
+                        (vt, eff_dy, eff_dx, m_flat))
+                out = dense_local_flat(
+                    vt, eff_dy, eff_dx, m_flat, g, k,
+                    self.max_local_offset,
+                )  # [N, Ho, Wo, filters] (already output-indexed)
+            return nn.Dense(self.filters, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name="output_proj")(out)
+
+        # fold groups into the batch dim for the gather paths: ONE batched
+        # gather covers every group (a per-group python loop blows up the
+        # HLO and compile time on deep InternImage stacks)
+        vg = v.reshape(n, h, w, g, gc).transpose(0, 3, 1, 2, 4)
+        vg = vg.reshape(n * g, h, w, gc)
+        off_b = offsets.transpose(0, 3, 1, 2, 4, 5).reshape(n * g, ho, wo, kk, 2)
+        mod_b = modul.transpose(0, 3, 1, 2, 4).reshape(n * g, ho, wo, kk)
+
+        if sampling == "gather_centered":
             taps = deform_im2col(
                 vg, off_b * self.offset_scale, kernel_size=k,
                 stride=self.stride, dilation=self.dilation,
@@ -242,6 +276,8 @@ class DCNv3(nn.Module):
                 vg, off_b, mod_b, kernel_size=k, stride=self.stride,
                 dilation=self.dilation, offset_scale=self.offset_scale,
             )  # [N*G, Ho, Wo, gc]
+        if self.fusion_barriers:
+            out = jax.lax.optimization_barrier(out)
         out = out.reshape(n, g, ho, wo, gc).transpose(0, 2, 3, 1, 4)
         out = out.reshape(n, ho, wo, g * gc)  # [N, Ho, Wo, filters]
 

@@ -15,6 +15,8 @@ same signature (``iseg_tpu.ops.pallas``).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -130,6 +132,278 @@ def deform_dense_local(
             # x[p + o] -> shift by -o
             out = out + w_o[..., None] * shift(x, -oy, -ox).astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def _dense_local_flat_math(x, off_dy, off_dx, modulation, groups,
+                           kernel_size, max_offset):
+    """Grouped dense-local sampling WITHOUT the group-fold relayout.
+
+    Same math as :func:`deform_dense_local` vmapped over G groups, but the
+    values stay ``[B, H, W, G*gc]`` (group-major channels) end to end and
+    every loop operand keeps a LARGE minor dim:
+
+    * the group-fold transposes of the [B*G, ...] formulation are never
+      materialized by XLA — layout assignment defers them INTO the
+      49-term displacement loop, so every shifted read pays the relayout
+      (measured v5e, tools/probe_internimage.py: the stage-3 DCNv3 module
+      ran 15x its parts sum; the entry HLO shows 49 materialized
+      per-iteration broadcasts, 5.1 GB accessed vs 1.1 for the same math
+      on leaf inputs);
+    * displacement maps ride FLAT as [B, H, W, G*KK] — a [.., G, KK]
+      layout pads KK=9 up to the 128-lane tile (14x memory blowup, OOM
+      at 512^2 b8);
+    * the per-group weight reduce and the group->channel broadcast are a
+      reshape-reduce + repeat INSIDE the loop fusion (tiny [.., G, KK]
+      views never materialize, so their sub-tile minor dims never pad);
+      a constant block-diagonal matmul was tried and is 4x SLOWER — a
+      dot_general cannot fuse into elementwise fusions, so each of the 49
+      iterations became its own materialization island.
+
+    Args:
+      x: [B, H, W, G*gc] (group-major: channel = g*gc + j).
+      off_dy/off_dx: [B, H, W, G*KK] per-tap (dy, dx) offsets, flattened
+        group-major (j = g*KK + tap); clamped to +-max_offset.
+      modulation: [B, H, W, G*KK] per-tap weights, same flattening.
+    Returns [B, H, W, G*gc]. Stride/dilation 1 only.
+    """
+    import numpy as np
+
+    b, h, w, c = x.shape
+    g = groups
+    gc = c // g
+    k = kernel_size
+    kk = k * k
+    r = max_offset
+    half = (k - 1) // 2
+    lim = half + r  # tri() support bound; see deform_dense_local
+
+    tap = (np.arange(k, dtype=np.float32) - half)
+    tap_y = jnp.asarray(np.tile(np.repeat(tap, k), g))   # [G*KK]
+    tap_x = jnp.asarray(np.tile(np.tile(tap, k), g))
+    dy = jnp.clip(off_dy.astype(jnp.float32), -r, r) + tap_y
+    dx = jnp.clip(off_dx.astype(jnp.float32), -r, r) + tap_x
+    m = modulation.astype(jnp.float32)
+
+    def shift(arr, oy, ox):
+        pads = [(0, 0), (max(oy, 0), max(-oy, 0)),
+                (max(ox, 0), max(-ox, 0)), (0, 0)]
+        padded = jnp.pad(arr, pads)
+        ys = max(-oy, 0)
+        xs = max(-ox, 0)
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(padded, ys, ys + h, axis=1), xs, xs + w,
+            axis=2)
+
+    # the group reduce (sum over the KK sub-axis) and the group->channel
+    # expand are a fused reshape-reduce + repeat — NOT a matmul: a
+    # dot_general cannot fuse into elementwise fusions, so a dot here
+    # splits the loop into 49 materialization islands (measured: 4x the
+    # fused cost). The [.., G, KK]/[.., G] views live only INSIDE the
+    # fusion, so their tiny minor dims never hit the tiled layout.
+    out = jnp.zeros((b, h, w, c), jnp.float32)
+    for oy in range(-lim, lim + 1):
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy))   # [B,H,W,G*KK]
+        for ox in range(-lim, lim + 1):
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox))
+            t = m * ty * tx
+            w_o = jnp.sum(t.reshape(b, h, w, g, kk), axis=-1)  # [B,H,W,G]
+            wexp = jnp.repeat(w_o, gc, axis=-1)                # [B,H,W,C]
+            out = out + wexp * shift(x, -oy, -ox).astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _flat_consts(groups, kernel_size, c):
+    """(tap_y, tap_x, expand) constants for the flat formulation."""
+    import numpy as np
+
+    g, k = groups, kernel_size
+    kk = k * k
+    gc = c // g
+    half = (k - 1) // 2
+    tap = (np.arange(k, dtype=np.float32) - half)
+    tap_y = jnp.asarray(np.tile(np.repeat(tap, k), g))
+    tap_x = jnp.asarray(np.tile(np.tile(tap, k), g))
+    expand = np.zeros((g * kk, c), np.float32)
+    for gi in range(g):
+        expand[gi * kk:(gi + 1) * kk, gi * gc:(gi + 1) * gc] = 1.0
+    return tap_y, tap_x, jnp.asarray(expand)
+
+
+def _shift4(arr, oy, ox, h, w):
+    pads = [(0, 0), (max(oy, 0), max(-oy, 0)),
+            (max(ox, 0), max(-ox, 0)), (0, 0)]
+    padded = jnp.pad(arr, pads)
+    ys = max(-oy, 0)
+    xs = max(-ox, 0)
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(padded, ys, ys + h, axis=1), xs, xs + w, axis=2)
+
+
+def _dense_local_flat_bwd_math(x, off_dy, off_dx, modulation, groups,
+                               kernel_size, max_offset, g_out):
+    """Hand-written VJP of :func:`_dense_local_flat_math` that RECOMPUTES
+    the displacement weights instead of letting autodiff store them: the
+    naive vjp saves every iteration's ``wexp``/shifted-x pair (49 x
+    [B,H,W,C] f32 per layer — the forward-under-vjp becomes a memory-bound
+    store pass, measured 4x the pure forward, and OOMs InternImage-T at
+    512^2 b8). Residuals here are just the four inputs; the backward runs
+    the same fused 49-term loop shape as the forward (flash-attention
+    recompute pattern)."""
+    b, h, w, c = x.shape
+    g = groups
+    gc = c // g
+    k = kernel_size
+    kk = k * k
+    r = max_offset
+    half = (k - 1) // 2
+    lim = half + r
+    tap_y, tap_x, _ = _flat_consts(groups, k, c)
+
+    ody = off_dy.astype(jnp.float32)
+    odx = off_dx.astype(jnp.float32)
+    dy = jnp.clip(ody, -r, r) + tap_y
+    dx = jnp.clip(odx, -r, r) + tap_x
+    m = modulation.astype(jnp.float32)
+    gf = g_out.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+
+    d_x = jnp.zeros((b, h, w, c), jnp.float32)
+    d_dy = jnp.zeros(dy.shape, jnp.float32)
+    d_dx = jnp.zeros(dx.shape, jnp.float32)
+    d_m = jnp.zeros(m.shape, jnp.float32)
+    for oy in range(-lim, lim + 1):
+        uy = dy - oy
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
+        dty = jnp.where(jnp.abs(uy) < 1.0, -jnp.sign(uy), 0.0)
+        for ox in range(-lim, lim + 1):
+            ux = dx - ox
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
+            t = m * ty * tx
+            # group reduce + expand as fused reshape-reduce/repeat, NOT a
+            # matmul (a dot splits the loop into materialization islands
+            # — see _dense_local_flat_math)
+            w_o = jnp.sum(t.reshape(b, h, w, g, kk), axis=-1)  # [B,H,W,G]
+            wexp = jnp.repeat(w_o, gc, axis=-1)                # [B,H,W,C]
+            xs = _shift4(xf, -oy, -ox, h, w)
+            # dX[q] += (wexp * g)[q - o]
+            d_x = d_x + _shift4(wexp * gf, oy, ox, h, w)
+            # d_t[p, j] = per-group channel-sum of g*xs, replicated to taps
+            s_g = jnp.sum((gf * xs).reshape(b, h, w, g, gc), axis=-1)
+            d_t = jnp.repeat(s_g, kk, axis=-1)                 # [B,H,W,GKK]
+            d_m = d_m + d_t * ty * tx
+            d_dy = d_dy + d_t * m * tx * dty
+            dtx = jnp.where(jnp.abs(ux) < 1.0, -jnp.sign(ux), 0.0)
+            d_dx = d_dx + d_t * m * ty * dtx
+    # clip passes gradient only inside the (inclusive) clamp window
+    d_ody = jnp.where((ody >= -r) & (ody <= r), d_dy, 0.0)
+    d_odx = jnp.where((odx >= -r) & (odx <= r), d_dx, 0.0)
+    return (d_x.astype(x.dtype), d_ody.astype(off_dy.dtype),
+            d_odx.astype(off_dx.dtype), d_m.astype(modulation.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def dense_local_flat(x, off_dy, off_dx, modulation, groups,
+                     kernel_size=3, max_offset=2):
+    """Public flat grouped dense-local sampling; see
+    :func:`_dense_local_flat_math` for the layout rationale. The custom
+    VJP recomputes the loop in backward (residuals = inputs only)."""
+    return _dense_local_flat_math(x, off_dy, off_dx, modulation, groups,
+                                  kernel_size, max_offset)
+
+
+def _dlf_fwd(x, off_dy, off_dx, modulation, groups, kernel_size, max_offset):
+    out = _dense_local_flat_math(x, off_dy, off_dx, modulation, groups,
+                                 kernel_size, max_offset)
+    return out, (x, off_dy, off_dx, modulation)
+
+
+def _dlf_bwd(groups, kernel_size, max_offset, res, g_out):
+    x, off_dy, off_dx, modulation = res
+    # fence the backward's boundary: leaf-like inputs restore the fused
+    # single-pass lowering of the recompute loop (the same loop composed
+    # into the surrounding bwd graph de-fuses, see _dense_local_flat_math)
+    x, off_dy, off_dx, modulation, g_out = jax.lax.optimization_barrier(
+        (x, off_dy, off_dx, modulation, g_out))
+    grads = _dense_local_flat_bwd_math(
+        x, off_dy, off_dx, modulation, groups, kernel_size, max_offset,
+        g_out)
+    return jax.lax.optimization_barrier(grads)
+
+
+dense_local_flat.defvjp(_dlf_fwd, _dlf_bwd)
+
+
+def deform_dense_local_grouped(
+    x: jax.Array,
+    offsets: jax.Array,
+    modulation: jax.Array,
+    kernel_size: int = 3,
+    max_offset: int = 2,
+) -> jax.Array:
+    """Convenience wrapper over :func:`dense_local_flat` taking the
+    module-layout tensors: offsets [B, H, W, G, K*K, 2] (dy, dx),
+    modulation [B, H, W, G, K*K]. The minor-dim flattening happens once,
+    outside the displacement loop."""
+    b, h, w, _ = x.shape
+    g = offsets.shape[3]
+    kk = offsets.shape[4]
+    off_dy = offsets[..., 0].reshape(b, h, w, g * kk)
+    off_dx = offsets[..., 1].reshape(b, h, w, g * kk)
+    m = modulation.reshape(b, h, w, g * kk)
+    return dense_local_flat(x, off_dy, off_dx, m, g, kernel_size,
+                            max_offset)
+
+
+def dcnv3_ref_effective_offsets_grouped(
+    offsets: jax.Array,
+    h: int,
+    w: int,
+    kernel_size: int = 3,
+    offset_scale: float = 1.0,
+):
+    """Grouped-flat variant of :func:`dcnv3_ref_effective_offsets` for
+    :func:`dense_local_flat`: offsets [B, Ho, Wo, G, P, 2] ->
+    (eff_dy, eff_dx), each [B, Ho, Wo, G*P] (group-major j = g*P + tap).
+    Identical math (the group axis rides along; position terms broadcast
+    over it); flat-minor so nothing downstream carries a tiny tiled dim."""
+    import numpy as np
+
+    if h != w:
+        raise ValueError(
+            f"dense-local reference semantics needs a square map, got {h}x{w}")
+    k = kernel_size
+    kk = k * k
+    pad = (k - 1) // 2
+    hp = h + 2 * pad
+    f32 = jnp.float32
+
+    b = offsets.shape[0]
+    g = offsets.shape[3]
+    half = (k - 1) // 2
+    taps = np.arange(k, dtype=np.float32) - half
+    tap_y_dense = jnp.asarray(np.tile(np.repeat(taps, k), g))   # [G*P]
+    tap_x_dense = jnp.asarray(np.tile(np.tile(taps, k), g))
+    base = -((k - 1) // 2)
+    ref_dx = jnp.asarray(np.tile(
+        base + np.repeat(np.arange(k, dtype=np.float32), k), g))  # [G*P]
+    ref_dy = jnp.asarray(np.tile(
+        base + np.tile(np.arange(k, dtype=np.float32), k), g))
+
+    i = jnp.arange(h, dtype=f32)[:, None]   # [Ho, 1]
+    j = jnp.arange(w, dtype=f32)[:, None]
+    off0 = offsets[..., 0].reshape(b, h, w, g * kk).astype(f32)
+    off1 = offsets[..., 1].reshape(b, h, w, g * kk).astype(f32)
+
+    sq = (hp - 2.0) / hp
+    x_base = (pad + 0.5 + i) * sq - pad + ref_dx * offset_scale * sq  # [Ho,GP]
+    y_base = (pad + 0.5 + j) * sq - pad + ref_dy * offset_scale * sq  # [Wo,GP]
+    x_t = x_base[None, :, None, :] + off0 * offset_scale * sq
+    y_t = y_base[None, None, :, :] + off1 * offset_scale * sq
+
+    eff_dy = x_t - (i[None, :, None] + tap_y_dense)
+    eff_dx = y_t - (jnp.arange(w, dtype=f32)[None, None, :, None]
+                    + tap_x_dense)
+    return eff_dy, eff_dx
 
 
 def deform_dense_local_taps(

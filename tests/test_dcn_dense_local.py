@@ -200,3 +200,118 @@ def test_calibrate_on_backbone():
     assert len(report) == 2  # one DCNv3 per block
     for stats in report.values():
         assert stats["recommended_sampling"] == "dense_local_ref"
+
+
+# ---------------------------------------------- grouped-flat path (round 5)
+#
+# The fold-free formulation (ops/deform.py::dense_local_flat +
+# deform_dense_local_grouped): values stay [B,H,W,G*gc], displacement maps
+# ride flat-minor [B,H,W,G*KK], the group reduce+broadcast is one constant
+# block-diagonal matmul. Must equal the folded [B*G,...] path to f32
+# matmul-reassociation noise (probe_internimage: the folded path's
+# deferred relayouts de-fuse the displacement loop in-module on TPU).
+
+
+def _fold(x, off, mod, g):
+    b, h, w, c = x.shape
+    gc = c // g
+    kk = off.shape[4]
+    vg = x.reshape(b, h, w, g, gc).transpose(0, 3, 1, 2, 4)
+    vg = vg.reshape(b * g, h, w, gc)
+    off_b = off.transpose(0, 3, 1, 2, 4, 5).reshape(b * g, h, w, kk, 2)
+    mod_b = mod.transpose(0, 3, 1, 2, 4).reshape(b * g, h, w, kk)
+    return vg, off_b, mod_b
+
+
+def _unfold(out, b, g):
+    bg, h, w, gc = out.shape
+    return out.reshape(b, g, h, w, gc).transpose(0, 2, 3, 1, 4).reshape(
+        b, h, w, g * gc)
+
+
+def test_dense_local_grouped_matches_folded():
+    from iseg_tpu.ops.deform import deform_dense_local_grouped
+
+    rng = np.random.RandomState(3)
+    b, h, w, g, gc, kk = 2, 12, 12, 4, 5, 9
+    x = jnp.asarray(rng.randn(b, h, w, g * gc), jnp.float32)
+    off = jnp.asarray(rng.uniform(-3, 3, (b, h, w, g, kk, 2)), jnp.float32)
+    mod = jnp.asarray(rng.rand(b, h, w, g, kk), jnp.float32)
+
+    vg, off_b, mod_b = _fold(x, off, mod, g)
+    want = _unfold(deform_dense_local(vg, off_b, mod_b, 3, 2), b, g)
+    got = deform_dense_local_grouped(x, off, mod, 3, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ref_effective_offsets_grouped_matches_folded():
+    from iseg_tpu.ops.deform import (
+        dcnv3_ref_effective_offsets,
+        dcnv3_ref_effective_offsets_grouped,
+    )
+
+    rng = np.random.RandomState(4)
+    b, h, w, g, kk = 2, 10, 10, 4, 9
+    off = jnp.asarray(rng.uniform(-2, 2, (b, h, w, g, kk, 2)), jnp.float32)
+    off_b = off.transpose(0, 3, 1, 2, 4, 5).reshape(b * g, h, w, kk, 2)
+
+    want = dcnv3_ref_effective_offsets(off_b, h, w, 3, 0.7)
+    edy, edx = dcnv3_ref_effective_offsets_grouped(off, h, w, 3, 0.7)
+    edy_f = edy.reshape(b, h, w, g, kk).transpose(0, 3, 1, 2, 4).reshape(
+        b * g, h, w, kk)
+    edx_f = edx.reshape(b, h, w, g, kk).transpose(0, 3, 1, 2, 4).reshape(
+        b * g, h, w, kk)
+    np.testing.assert_allclose(np.asarray(edy_f), np.asarray(want[..., 0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(edx_f), np.asarray(want[..., 1]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dense_local_flat_ref_mode_matches_folded():
+    from iseg_tpu.ops.deform import (
+        dcnv3_ref_effective_offsets,
+        dcnv3_ref_effective_offsets_grouped,
+        dense_local_flat,
+    )
+
+    rng = np.random.RandomState(5)
+    b, h, w, g, gc, kk = 2, 12, 12, 4, 5, 9
+    x = jnp.asarray(rng.randn(b, h, w, g * gc), jnp.float32)
+    off = jnp.asarray(rng.uniform(-1, 1, (b, h, w, g, kk, 2)), jnp.float32)
+    mod = jnp.asarray(rng.rand(b, h, w, g, kk), jnp.float32)
+
+    vg, off_b, mod_b = _fold(x, off, mod, g)
+    eff = dcnv3_ref_effective_offsets(off_b, h, w, 3, 1.0)
+    want = _unfold(
+        deform_dense_local(vg.transpose(0, 2, 1, 3), eff, mod_b, 3, 4), b, g)
+
+    edy, edx = dcnv3_ref_effective_offsets_grouped(off, h, w, 3, 1.0)
+    got = dense_local_flat(
+        x.transpose(0, 2, 1, 3), edy, edx, mod.reshape(b, h, w, g * kk),
+        g, 3, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dense_local_flat_gradients_match_folded():
+    from iseg_tpu.ops.deform import deform_dense_local_grouped
+
+    rng = np.random.RandomState(6)
+    b, h, w, g, gc, kk = 1, 8, 8, 2, 4, 9
+    x = jnp.asarray(rng.randn(b, h, w, g * gc), jnp.float32)
+    off = jnp.asarray(rng.uniform(-2, 2, (b, h, w, g, kk, 2)), jnp.float32)
+    mod = jnp.asarray(rng.rand(b, h, w, g, kk), jnp.float32)
+
+    def loss_folded(x, off, mod):
+        vg, off_b, mod_b = _fold(x, off, mod, g)
+        return jnp.sum(deform_dense_local(vg, off_b, mod_b, 3, 2) ** 2)
+
+    def loss_grouped(x, off, mod):
+        return jnp.sum(deform_dense_local_grouped(x, off, mod, 3, 2) ** 2)
+
+    gw = jax.grad(loss_folded, argnums=(0, 1, 2))(x, off, mod)
+    gg = jax.grad(loss_grouped, argnums=(0, 1, 2))(x, off, mod)
+    for a, b_ in zip(gw, gg):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)

@@ -47,8 +47,11 @@ def build(config_name: str):
     elif config_name == "intern":
         model = SegManaged(
             num_class=19,
+            # remat: the grouped dense-local displacement loop's bwd
+            # residuals (49 x t[B,H,W,G*KK] f32 per layer) exceed HBM at
+            # b8 512^2 without it (round-5 probe notes)
             backbone=get_backbone("intern_image_tiny", dtype=dtype,
-                                  dcn_sampling="auto"),
+                                  dcn_sampling="auto", remat=True),
             head=ASPP(filters=256, dtype=dtype),
             upsample_logits=False, fuse_upsample_loss=True,
         )
